@@ -1,0 +1,68 @@
+"""Vectorized negacyclic NTT/INTT over RNS limb stacks (NumPy / JAX).
+
+Iterative Cooley–Tukey (forward, natural → bit-reversed) and
+Gentleman–Sande (inverse, bit-reversed → natural) with merged ψ twiddles,
+expressed entirely as reshapes + broadcast elementwise ops — no gathers, so
+XLA maps every butterfly stage onto the VPU and fuses the Shoup arithmetic.
+log2(n) stages are unrolled at trace time (static shapes).
+
+Arrays are u64 with shape (..., L, n): leading batch dims, L RNS limbs
+(one prime per limb, all limbs transformed in parallel), n coefficients.
+
+This replaces the reference's Lattigo/HEonGPU NTT kernels
+(SURVEY.md §2.5 "TPU equivalent"); the convention "NTT domain" throughout
+the framework means *bit-reversed evaluation order*, matching these kernels.
+"""
+
+from . import u64 as _u
+
+
+def ntt(xp, x, ring):
+    """Forward negacyclic NTT. x: u64 (..., L, n) in [0, q). Output bit-reversed."""
+    n = x.shape[-1]
+    L = x.shape[-2]
+    batch = x.shape[:-2]
+    q = ring.q.reshape(L, 1, 1)
+    tbl = ring.psi_rev
+    tbl_sh = ring.psi_rev_shoup
+
+    t = n
+    m = 1
+    while m < n:
+        t //= 2
+        xv = x.reshape(*batch, L, m, 2, t)
+        s = tbl[:, m:2 * m].reshape(L, m, 1)
+        s_sh = tbl_sh[:, m:2 * m].reshape(L, m, 1)
+        u_ = xv[..., 0, :]
+        v = _u.shoup_mul(xp, xv[..., 1, :], s, s_sh, q)
+        hi = _u.addmod(xp, u_, v, q)
+        lo = _u.submod(xp, u_, v, q)
+        x = xp.stack([hi, lo], axis=-2).reshape(*batch, L, n)
+        m *= 2
+    return x
+
+
+def intt(xp, x, ring):
+    """Inverse negacyclic NTT. Input bit-reversed, output natural, scaled by n^-1."""
+    n = x.shape[-1]
+    L = x.shape[-2]
+    batch = x.shape[:-2]
+    q = ring.q.reshape(L, 1, 1)
+    tbl = ring.psi_inv_rev
+    tbl_sh = ring.psi_inv_rev_shoup
+
+    t = 1
+    m = n // 2
+    while m >= 1:
+        xv = x.reshape(*batch, L, m, 2, t)
+        s = tbl[:, m:2 * m].reshape(L, m, 1)
+        s_sh = tbl_sh[:, m:2 * m].reshape(L, m, 1)
+        u_ = xv[..., 0, :]
+        v = xv[..., 1, :]
+        hi = _u.addmod(xp, u_, v, q)
+        lo = _u.shoup_mul(xp, _u.submod(xp, u_, v, q), s, s_sh, q)
+        x = xp.stack([hi, lo], axis=-2).reshape(*batch, L, n)
+        t *= 2
+        m //= 2
+    q2 = ring.q.reshape(L, 1)
+    return _u.shoup_mul(xp, x, ring.n_inv, ring.n_inv_shoup, q2)

@@ -1,0 +1,105 @@
+"""Exact unsigned 64-bit modular arithmetic, namespace-parametric (NumPy / JAX).
+
+TPU has no native 64-bit integer datapath; XLA emulates u64 with 32-bit
+lanes. Every function below uses only operations that are *exact* under that
+emulation: wrapping u64 add/sub/mul, shifts, masks and compares. Products of
+two 32-bit values are computed exactly in u64, and wide (128-bit) products
+are assembled from four such partial products — the classic
+mulhi-via-16/32-bit-digits scheme (see SURVEY.md §7 "Hard parts").
+
+All functions take an array namespace ``xp`` (``numpy`` or ``jax.numpy``) so
+the golden host model and the TPU device path share one implementation; the
+golden model's independence comes from scheme-level plain-math oracles (the
+reference's ``fhe_ops_lib/utils.h:59-80`` ``vec_mod_*`` semantics), not from
+a separate modmul.
+
+Montgomery reduction (REDC, R = 2^64) is the generic modmul; Shoup
+multiplication is used where one operand is a precomputed constant (NTT
+twiddles, key polynomials) — 6 wide muls instead of ~10.
+"""
+
+MASK32 = (1 << 32) - 1
+
+
+def mulhi(xp, a, b):
+    """High 64 bits of the 128-bit product a*b (a, b: u64 arrays)."""
+    u64 = a.dtype.type
+    ah = a >> u64(32)
+    al = a & u64(MASK32)
+    bh = b >> u64(32)
+    bl = b & u64(MASK32)
+    t = al * bl
+    mid1 = ah * bl + (t >> u64(32))
+    mid2 = al * bh + (mid1 & u64(MASK32))
+    return ah * bh + (mid1 >> u64(32)) + (mid2 >> u64(32))
+
+
+def mulwide(xp, a, b):
+    """Full 128-bit product as (hi, lo) u64 pair."""
+    return mulhi(xp, a, b), a * b
+
+
+def addmod(xp, a, b, p):
+    """(a + b) mod p for a, b in [0, p), p < 2^63."""
+    s = a + b
+    return xp.where(s >= p, s - p, s)
+
+
+def submod(xp, a, b, p):
+    """(a - b) mod p for a, b in [0, p)."""
+    d = a - b + p
+    return xp.where(d >= p, d - p, d)
+
+
+def negmod(xp, a, p):
+    """(-a) mod p for a in [0, p)."""
+    zero = xp.zeros_like(a)
+    return xp.where(a == 0, zero, p - a)
+
+
+def redc(xp, hi, lo, p, pinv):
+    """Montgomery reduction: (hi*2^64 + lo) * 2^-64 mod p, result in [0, p).
+
+    Requires hi*2^64 + lo < p * 2^64 (true for products of values < p).
+    ``pinv`` is -p^-1 mod 2^64.
+    """
+    m = lo * pinv
+    t = hi + mulhi(xp, m, p) + (lo != 0).astype(lo.dtype)
+    return xp.where(t >= p, t - p, t)
+
+
+def mont_mul(xp, a, b, p, pinv):
+    """a * b * 2^-64 mod p (operands in [0, p))."""
+    hi, lo = mulwide(xp, a, b)
+    return redc(xp, hi, lo, p, pinv)
+
+
+def mulmod(xp, a, b, p, pinv, r2):
+    """Generic exact a * b mod p via double Montgomery reduction.
+
+    ``r2`` is 2^128 mod p. Cost ~2 REDC; prefer :func:`shoup_mul` /
+    :func:`mont_mul` on hot paths with precomputable operands.
+    """
+    c = mont_mul(xp, a, b, p, pinv)       # a*b*R^-1
+    return mont_mul(xp, c, r2, p, pinv)   # a*b*R^-1 * R^2 * R^-1 = a*b
+
+
+def to_mont(xp, a, p, pinv, r2):
+    """a * 2^64 mod p (enter Montgomery domain)."""
+    return mont_mul(xp, a, r2, p, pinv)
+
+
+def from_mont(xp, a, p, pinv):
+    """a * 2^-64 mod p (leave Montgomery domain)."""
+    zero = xp.zeros_like(a)
+    return redc(xp, zero, a, p, pinv)
+
+
+def shoup_mul(xp, a, w, w_shoup, p):
+    """a * w mod p where w is a constant with precomputed Shoup companion.
+
+    ``w_shoup`` = floor(w * 2^64 / p). Requires a < p (and w < p).
+    """
+    q = mulhi(xp, a, w_shoup)
+    r = a * w - q * p
+    return xp.where(r >= p, r - p, r)
