@@ -1,0 +1,183 @@
+"""RNS basis conversion and scaling primitives (namespace-parametric).
+
+Implements the integer-only BEHZ toolbox the reference obtains from
+Lattigo's ring package (SURVEY.md §2.5): fast (approximate) base
+conversion, the m̃-trick small Montgomery reduction (SmMRq) for *exact*
+input extension, t/Q flooring, Shenoy–Kumaresan exact back-conversion, and
+the divide-and-round-by-last-prime step shared by BFV modulus switching and
+CKKS rescaling.
+
+Everything is elementwise/broadcast u64 arithmetic over (..., L, n) limb
+stacks — no gathers, no data-dependent control flow — so the same code runs
+exactly on NumPy (golden) and as jitted XLA on TPU.
+"""
+
+import math
+
+import numpy as np
+
+from . import u64 as _u
+from ..params import MTILDE, MTILDE_BITS
+
+_U64 = np.uint64
+
+
+def _col(vals):
+    return np.array([int(v) % (1 << 64) for v in vals], dtype=_U64).reshape(len(vals), 1)
+
+
+def _mont(v: int, p: int) -> int:
+    return (v << 64) % p
+
+
+def _shoup(v: int, p: int) -> int:
+    return (v << 64) // p
+
+
+class BasisConv:
+    """Fast base conversion src-basis → dst-basis (FastBConv).
+
+    conv(x)_t = Σ_i [x_i · (Q/q_i)^-1]_{q_i} · [Q/q_i]_{d_t}  (mod d_t)
+             = x + α·Q for some 0 ≤ α ≤ |src|  (approximate extension).
+    """
+
+    def __init__(self, src: tuple[int, ...], dst: tuple[int, ...]):
+        self.src = tuple(src)
+        self.dst = tuple(dst)
+        Q = math.prod(src)
+        qhat = [Q // qi for qi in src]
+        qhat_inv = [pow(h, -1, qi) for h, qi in zip(qhat, src)]
+        self.src_q = _col(src)
+        self.dst_q = _col(dst)
+        self.dst_pinv = _col([(-pow(d, -1, 1 << 64)) % (1 << 64) for d in dst])
+        self.qhat_inv = _col(qhat_inv)
+        self.qhat_inv_shoup = _col([_shoup(v, qi) for v, qi in zip(qhat_inv, src)])
+        # [Q/q_i]_{d_t} in Montgomery form w.r.t. d_t: (T, L)
+        self.qhat_dst_mont = np.array(
+            [[_mont(qhat[i] % d, d) for i in range(len(src))] for d in dst], dtype=_U64)
+        # m̃ image of the same conversion (for SmMRq)
+        self.qhat_mtilde = np.array([qhat[i] % MTILDE for i in range(len(src))], dtype=_U64)
+
+    def decompose(self, xp, x):
+        """y_i = [x_i * (Q/q_i)^-1]_{q_i};  x: (..., L, n)."""
+        return _u.shoup_mul(xp, x, self.qhat_inv, self.qhat_inv_shoup, self.src_q)
+
+    def convert(self, xp, y):
+        """Σ_i y_i * [Q/q_i]_{d_t} mod d_t;  y: (..., L, n) → (..., T, n)."""
+        L = len(self.src)
+        out = None
+        for i in range(L):
+            yi = y[..., i:i + 1, :]
+            term = _u.mont_mul(xp, yi, self.qhat_dst_mont[:, i:i + 1],
+                               self.dst_q, self.dst_pinv)
+            out = term if out is None else _u.addmod(xp, out, term, self.dst_q)
+        return out
+
+    def convert_mtilde(self, xp, y):
+        """Same conversion targeting m̃ = 2^16 (masks only)."""
+        mask = y.dtype.type(MTILDE - 1)
+        L = len(self.src)
+        acc = None
+        for i in range(L):
+            term = (y[..., i, :] & mask) * self.qhat_mtilde[i]
+            acc = term if acc is None else acc + term
+        return acc & mask
+
+    def __call__(self, xp, x):
+        return self.convert(xp, self.decompose(xp, x))
+
+
+class SmMRq:
+    """BEHZ small Montgomery reduction mod m̃: removes the α·Q overflow of a
+    FastBConv of [x·m̃]_Q, yielding x' ≡ x (mod Q) with ‖x'‖ ≤ Q(1+|src|)/2."""
+
+    def __init__(self, src_q: tuple[int, ...], dst: tuple[int, ...]):
+        Q = math.prod(src_q)
+        self.neg_qinv_mtilde = (-pow(Q, -1, MTILDE)) % MTILDE
+        self.dst_q = _col(dst)
+        self.dst_pinv = _col([(-pow(d, -1, 1 << 64)) % (1 << 64) for d in dst])
+        self.q_mont = _col([_mont(Q % d, d) for d in dst])
+        self.mtilde_inv_mont = _col([_mont(pow(MTILDE, -1, d), d) for d in dst])
+
+    def __call__(self, xp, ext, ext_mtilde):
+        """ext: (..., T, n) residues of x·m̃+αQ in dst; ext_mtilde: (..., n) mod m̃."""
+        u64 = ext.dtype.type
+        r = (ext_mtilde * u64(self.neg_qinv_mtilde)) & u64(MTILDE - 1)
+        # center r to [-m̃/2, m̃/2): negative r maps to dst_q - (m̃ - r)
+        r = r[..., None, :]
+        big = r >= u64(MTILDE // 2)
+        r_mod = xp.where(big, self.dst_q - (u64(MTILDE) - r), r)
+        term = _u.mont_mul(xp, r_mod, self.q_mont, self.dst_q, self.dst_pinv)
+        s = _u.addmod(xp, ext, term, self.dst_q)
+        return _u.mont_mul(xp, s, self.mtilde_inv_mont, self.dst_q, self.dst_pinv)
+
+
+class ExactExtend:
+    """Exact extension R_Q → R_{B ∪ m_sk} (up to a bounded small multiple of Q):
+    x ↦ [x·m̃]_Q → FastBConv → SmMRq. The workhorse of BEHZ BFV multiplication."""
+
+    def __init__(self, src: tuple[int, ...], dst: tuple[int, ...]):
+        self.src_q = _col(src)
+        self.src_pinv = _col([(-pow(q, -1, 1 << 64)) % (1 << 64) for q in src])
+        self.mtilde_mont = _col([_mont(MTILDE % q, q) for q in src])
+        self.conv = BasisConv(src, dst)
+        self.smmrq = SmMRq(src, dst)
+
+    def __call__(self, xp, x):
+        xm = _u.mont_mul(xp, x, self.mtilde_mont, self.src_q, self.src_pinv)
+        y = self.conv.decompose(xp, xm)
+        ext = self.conv.convert(xp, y)
+        ext_mt = self.conv.convert_mtilde(xp, y)
+        return self.smmrq(xp, ext, ext_mt)
+
+
+class ShenoyConvert:
+    """Exact conversion B → Q using the redundant modulus m_sk
+    (Shenoy–Kumaresan): corrects FastBConv's α·B overflow exactly."""
+
+    def __init__(self, b_primes: tuple[int, ...], m_sk: int, dst: tuple[int, ...]):
+        B = math.prod(b_primes)
+        self.m_sk = m_sk
+        self.conv = BasisConv(b_primes, tuple(dst) + (m_sk,))
+        self.binv_sk = pow(B % m_sk, -1, m_sk)
+        self.sk_q = _U64(m_sk)
+        self.sk_pinv = _U64((-pow(m_sk, -1, 1 << 64)) % (1 << 64))
+        self.binv_sk_mont = _U64(_mont(self.binv_sk, m_sk))
+        self.dst_q = _col(dst)
+        self.dst_pinv = _col([(-pow(d, -1, 1 << 64)) % (1 << 64) for d in dst])
+        self.b_mont = _col([_mont(B % d, d) for d in dst])
+
+    def __call__(self, xp, x_b, x_sk):
+        """x_b: (..., T, n) residues in B; x_sk: (..., n) residue mod m_sk."""
+        full = self.conv(xp, x_b)                 # (..., |dst|+1, n) = x + αB
+        conv_q, conv_sk = full[..., :-1, :], full[..., -1, :]
+        diff = _u.submod(xp, conv_sk, x_sk, self.sk_q)
+        alpha = _u.mont_mul(xp, diff, self.binv_sk_mont, self.sk_q, self.sk_pinv)
+        # α is small (≤ |B|); center to allow slight negatives from rounding.
+        alpha = alpha[..., None, :]
+        big = alpha >= (self.sk_q >> _U64(1))
+        alpha_mod = xp.where(big, self.dst_q - (self.sk_q - alpha), alpha)
+        corr = _u.mont_mul(xp, alpha_mod, self.b_mont, self.dst_q, self.dst_pinv)
+        return _u.submod(xp, conv_q, corr, self.dst_q)
+
+
+class DivRoundLast:
+    """c' = round(c / q_last) on RNS limbs: the shared kernel of BFV modulus
+    switching and CKKS rescale (drops the last limb)."""
+
+    def __init__(self, moduli: tuple[int, ...]):
+        assert len(moduli) >= 2
+        q_last = moduli[-1]
+        rest = moduli[:-1]
+        self.q_last_half = _U64((q_last + 1) // 2)
+        self.dst_q = _col(rest)
+        self.dst_pinv = _col([(-pow(d, -1, 1 << 64)) % (1 << 64) for d in rest])
+        self.qlast_inv_mont = _col([_mont(pow(q_last % d, -1, d), d) for d in rest])
+
+    def __call__(self, xp, x):
+        """x: (..., L, n) → (..., L-1, n)."""
+        c_rest, c_last = x[..., :-1, :], x[..., -1:, :]
+        a = _u.mont_mul(xp, c_last, self.qlast_inv_mont, self.dst_q, self.dst_pinv)
+        b = _u.mont_mul(xp, c_rest, self.qlast_inv_mont, self.dst_q, self.dst_pinv)
+        delta = (c_last >= self.q_last_half).astype(x.dtype)
+        return _u.addmod(xp, _u.submod(xp, b, a, self.dst_q), delta, self.dst_q)

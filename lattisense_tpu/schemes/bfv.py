@@ -1,0 +1,314 @@
+"""BFV scheme engine: encode/encrypt/decrypt (host) + eval ops (device-able).
+
+Evaluation ops are namespace-parametric (xp ∈ {numpy, jax.numpy}) pure-array
+functions so the graph runtime can jit them on TPU; encode/encrypt/decrypt
+use exact host big-int/NumPy math (they sit outside the compiled task graph
+in the reference too — SDK side, cxx_sdk_v2).
+
+Multiplication is the integer-only BEHZ RNS algorithm:
+  exact-extend both ciphertexts Q_ℓ → B_ℓ ∪ m_sk (m̃-trick, core/rns.py),
+  NTT tensor product over Q_ℓ and the auxiliary basis,
+  scale by t/Q_ℓ (fastfloor), exact Shenoy–Kumaresan conversion back to Q_ℓ.
+Correctness does not require centered representatives: the [0,Q) wrap
+multiples have {0,1} coefficients and contribute ≤ ~n·t² noise (checked by
+the conformance tests at every level).
+
+Reference API parity: BfvContext ops in fhe_ops_lib/fhe_lib_v2.h:358-706.
+"""
+
+import functools
+import math
+
+import numpy as np
+
+from ..core import ntt as ntt_mod
+from ..core import u64 as _u
+from ..core.modring import get_rns_ring
+from ..core.rns import ExactExtend, ShenoyConvert, DivRoundLast, BasisConv, _col, _mont
+from ..params import BfvParams, bfv_aux_basis
+from .types import Ciphertext, Plaintext, PlaintextRingt, PlaintextMul
+from .keyswitch import KeySwitcher
+from .galois import (apply_automorphism_coeff, galois_elt_col, galois_elt_row)
+from .encoding import bfv_encode_slots, bfv_decode_slots
+
+_U64 = np.uint64
+
+
+class BehzMult:
+    """Per-level precomputes for BEHZ multiplication."""
+
+    def __init__(self, q: tuple[int, ...], aux: tuple[int, ...], m_sk: int, t: int, n: int):
+        L = len(q)
+        b = aux[:L + 1]
+        self.b_primes = b
+        self.m_sk = m_sk
+        dst = b + (m_sk,)
+        Q = math.prod(q)
+        B = math.prod(b)
+        # sanity: tensor bound t*n*4*Q must fit under B (Shenoy needs ω < B)
+        assert B > 8 * t * n * Q, 'BEHZ auxiliary basis too small'
+        self.extend = ExactExtend(q, dst)
+        self.ring_q = get_rns_ring(q, n)
+        self.ring_aux = get_rns_ring(dst, n)
+        self.shenoy = ShenoyConvert(b, m_sk, q)
+        self.conv_q_to_aux = BasisConv(q, dst)
+        self.t_mont_q = _col([_mont(t % qi, qi) for qi in q])
+        self.t_mont_aux = _col([_mont(t % d, d) for d in dst])
+        self.qinv_mont_aux = _col([_mont(pow(Q % d, -1, d), d) for d in dst])
+
+    def scale_and_back(self, xp, d_q, d_aux):
+        """round-ish(t/Q · X) mod Q for X given over Q (d_q) and B∪m_sk (d_aux)."""
+        rq, ra = self.ring_q, self.ring_aux
+        u = _u.mont_mul(xp, d_q, self.t_mont_q, rq.q, rq.pinv)            # [tX]_Q
+        v = self.conv_q_to_aux(xp, u)                                     # + α'Q
+        td = _u.mont_mul(xp, d_aux, self.t_mont_aux, ra.q, ra.pinv)
+        w = _u.mont_mul(xp, _u.submod(xp, td, v, ra.q),
+                        self.qinv_mont_aux, ra.q, ra.pinv)                # floor(tX/Q) - α'
+        return self.shenoy(xp, w[..., :-1, :], w[..., -1, :])
+
+
+class BfvEngine:
+    def __init__(self, params: BfvParams):
+        self.params = params
+        self.n = params.n
+        self.t = params.t
+        self.q = tuple(params.q)
+        self.p = tuple(params.p)
+        self.aux, self.m_sk = bfv_aux_basis(params.n, self.q, self.p)
+        self.switcher = KeySwitcher(self.q, self.p, self.n)
+
+    # ---- cached per-level helpers ----
+    @functools.lru_cache(maxsize=None)
+    def ring(self, level: int):
+        return get_rns_ring(self.q[:level + 1], self.n)
+
+    @functools.lru_cache(maxsize=None)
+    def behz(self, level: int) -> BehzMult:
+        return BehzMult(self.q[:level + 1], self.aux, self.m_sk, self.t, self.n)
+
+    @functools.lru_cache(maxsize=None)
+    def rescaler(self, level: int) -> DivRoundLast:
+        return DivRoundLast(self.q[:level + 1])
+
+    @functools.lru_cache(maxsize=None)
+    def delta_mont(self, level: int) -> np.ndarray:
+        """[Δ_ℓ]_{q_i} in Montgomery form, Δ_ℓ = floor(Q_ℓ/t)."""
+        delta = self.params.delta(level)
+        return _col([_mont(delta % qi, qi) for qi in self.q[:level + 1]])
+
+    # ---- encode / decode (host) ----
+    def encode(self, values, level: int) -> Plaintext:
+        """Slot-batched encode, scaled by round(m·Q/t) (exact big-int)."""
+        m = bfv_encode_slots(values, self.t, self.n)
+        Q = self.params.q_prod(level)
+        scaled = [(int(c) * Q + self.t // 2) // self.t for c in m]
+        data = np.stack([np.array([s % qi for s in scaled], dtype=_U64)
+                         for qi in self.q[:level + 1]])
+        return Plaintext(data=data, level=level)
+
+    def encode_ringt(self, values) -> PlaintextRingt:
+        return PlaintextRingt(data=bfv_encode_slots(values, self.t, self.n))
+
+    def encode_mul(self, values, level: int) -> PlaintextMul:
+        """NTT + Montgomery form of the unscaled message lifted to Q_ℓ."""
+        m = bfv_encode_slots(values, self.t, self.n)
+        ring = self.ring(level)
+        lifted = np.broadcast_to(m, (level + 1, self.n)).copy()
+        f = ntt_mod.ntt(np, lifted, ring)
+        return PlaintextMul(data=_u.to_mont(np, f, ring.q, ring.pinv, ring.r2),
+                            level=level)
+
+    def decode(self, pt_mod_t: np.ndarray) -> np.ndarray:
+        return bfv_decode_slots(pt_mod_t, self.t, self.n)
+
+    # ---- encrypt / decrypt (host) ----
+    def encrypt_asymmetric(self, rng, pk, pt: Plaintext) -> Ciphertext:
+        from .keys import sample_ternary, sample_gaussian, lift_signed
+        level = pt.level
+        ring = self.ring(level)
+        q_mods = self.q[:level + 1]
+        u_ntt = ntt_mod.ntt(np, lift_signed(sample_ternary(rng, self.n), q_mods), ring)
+        c = []
+        for j in range(2):
+            prod = _u.mulmod(np, pk.data[j][:level + 1], u_ntt, ring.q, ring.pinv, ring.r2)
+            poly = ntt_mod.intt(np, prod, ring)
+            e = lift_signed(sample_gaussian(rng, self.n), q_mods)
+            c.append(_u.addmod(np, poly, e, ring.q))
+        c0 = _u.addmod(np, c[0], pt.data, ring.q)
+        return Ciphertext(data=np.stack([c0, c[1]]), level=level)
+
+    def encrypt_symmetric(self, rng, sk, pt: Plaintext) -> Ciphertext:
+        from .keys import sample_gaussian, lift_signed, sample_uniform_rns
+        level = pt.level
+        ring = self.ring(level)
+        q_mods = self.q[:level + 1]
+        a_ntt = sample_uniform_rns(rng, q_mods, self.n)
+        s_ntt = sk.ntt_form(tuple(q_mods), self.n)
+        as_ = ntt_mod.intt(np, _u.mulmod(np, a_ntt, s_ntt, ring.q, ring.pinv, ring.r2), ring)
+        e = lift_signed(sample_gaussian(rng, self.n), q_mods)
+        c0 = _u.addmod(np, _u.negmod(np, _u.addmod(np, as_, e, ring.q), ring.q),
+                       pt.data, ring.q)
+        return Ciphertext(data=np.stack([c0, ntt_mod.intt(np, a_ntt, ring)]), level=level)
+
+    def decrypt(self, sk, ct: Ciphertext) -> np.ndarray:
+        """→ plaintext poly mod t (n,) u64 (exact CRT + rounding)."""
+        level = ct.level
+        ring = self.ring(level)
+        q_mods = self.q[:level + 1]
+        s_ntt = sk.ntt_form(tuple(q_mods), self.n)
+        acc = np.asarray(ct.data[0])
+        s_pow = s_ntt
+        for k in range(1, ct.data.shape[0]):
+            ck = ntt_mod.ntt(np, np.asarray(ct.data[k]), ring)
+            term = ntt_mod.intt(np, _u.mulmod(np, ck, s_pow, ring.q, ring.pinv, ring.r2), ring)
+            acc = _u.addmod(np, acc, term, ring.q)
+            if k + 1 < ct.data.shape[0]:
+                s_pow = _u.mulmod(np, s_pow, s_ntt, ring.q, ring.pinv, ring.r2)
+        # CRT reconstruct to big ints, then m = round(t·x/Q) mod t
+        Q = self.params.q_prod(level)
+        X = np.zeros(self.n, dtype=object)
+        for i, qi in enumerate(q_mods):
+            Qi = Q // qi
+            w = Qi * pow(Qi, -1, qi)
+            X = X + acc[i].astype(object) * w
+        X = X % Q
+        m = np.array([((2 * self.t * int(x) + Q) // (2 * Q)) % self.t for x in X],
+                     dtype=_U64)
+        return m
+
+    def decrypt_decode(self, sk, ct: Ciphertext) -> np.ndarray:
+        return self.decode(self.decrypt(sk, ct))
+
+    # ---- eval ops (xp-parametric; arrays only) ----
+    def add(self, xp, a: Ciphertext, b) -> Ciphertext:
+        ring = self.ring(a.level)
+        if isinstance(b, Ciphertext):
+            data = _u.addmod(xp, a.data, b.data, ring.q)
+        elif isinstance(b, Plaintext):
+            c0 = _u.addmod(xp, a.data[0], b.data, ring.q)
+            data = xp.concatenate([c0[None], a.data[1:]], axis=0)
+        elif isinstance(b, PlaintextRingt):
+            dm = _u.mont_mul(xp, b.data[None, :].astype(_U64), self.delta_mont(a.level),
+                             ring.q, ring.pinv)
+            c0 = _u.addmod(xp, a.data[0], dm, ring.q)
+            data = xp.concatenate([c0[None], a.data[1:]], axis=0)
+        else:
+            raise TypeError(type(b))
+        return Ciphertext(data=data, level=a.level, is_ntt=a.is_ntt)
+
+    def sub(self, xp, a: Ciphertext, b) -> Ciphertext:
+        ring = self.ring(a.level)
+        if isinstance(b, Ciphertext):
+            data = _u.submod(xp, a.data, b.data, ring.q)
+        elif isinstance(b, Plaintext):
+            c0 = _u.submod(xp, a.data[0], b.data, ring.q)
+            data = xp.concatenate([c0[None], a.data[1:]], axis=0)
+        elif isinstance(b, PlaintextRingt):
+            dm = _u.mont_mul(xp, b.data[None, :].astype(_U64), self.delta_mont(a.level),
+                             ring.q, ring.pinv)
+            c0 = _u.submod(xp, a.data[0], dm, ring.q)
+            data = xp.concatenate([c0[None], a.data[1:]], axis=0)
+        else:
+            raise TypeError(type(b))
+        return Ciphertext(data=data, level=a.level, is_ntt=a.is_ntt)
+
+    def neg(self, xp, a: Ciphertext) -> Ciphertext:
+        ring = self.ring(a.level)
+        return Ciphertext(data=_u.negmod(xp, a.data, ring.q), level=a.level, is_ntt=a.is_ntt)
+
+    def mult(self, xp, a: Ciphertext, b) -> Ciphertext:
+        """ct⊗ct → ct3; ct×pt per plaintext format."""
+        level = a.level
+        ring = self.ring(level)
+        if isinstance(b, Ciphertext):
+            bz = self.behz(level)
+            ra = bz.ring_aux
+            polys = [a.data[0], a.data[1], b.data[0], b.data[1]]
+            fq, fa = [], []
+            for poly in polys:
+                ext = bz.extend(xp, poly)
+                nq = ntt_mod.ntt(xp, poly, ring)
+                na = ntt_mod.ntt(xp, ext, ra)
+                fq.append(_u.to_mont(xp, nq, ring.q, ring.pinv, ring.r2))
+                fa.append(_u.to_mont(xp, na, ra.q, ra.pinv, ra.r2))
+            out = []
+            for (i, j, k, l2, dbl) in ((0, 2, None, None, False),
+                                       (0, 3, 1, 2, False),
+                                       (1, 3, None, None, False)):
+                dq = _u.mont_mul(xp, fq[i], fq[j], ring.q, ring.pinv)
+                da = _u.mont_mul(xp, fa[i], fa[j], ra.q, ra.pinv)
+                if k is not None:
+                    dq = _u.addmod(xp, dq, _u.mont_mul(xp, fq[k], fq[l2], ring.q, ring.pinv), ring.q)
+                    da = _u.addmod(xp, da, _u.mont_mul(xp, fa[k], fa[l2], ra.q, ra.pinv), ra.q)
+                # leave Montgomery domain: operands were both mont → product has
+                # one extra R; mont_mul already removed one R each time, and the
+                # two to_mont added two → net one extra R; strip it.
+                dq = _u.from_mont(xp, dq, ring.q, ring.pinv)
+                da = _u.from_mont(xp, da, ra.q, ra.pinv)
+                dq = ntt_mod.intt(xp, dq, ring)
+                da = ntt_mod.intt(xp, da, ra)
+                out.append(bz.scale_and_back(xp, dq, da))
+            return Ciphertext(data=xp.stack(out), level=level)
+        if isinstance(b, Plaintext):
+            bz = self.behz(level)
+            ra = bz.ring_aux
+            pe = bz.extend(xp, b.data)
+            pq = _u.to_mont(xp, ntt_mod.ntt(xp, b.data, ring), ring.q, ring.pinv, ring.r2)
+            pa = _u.to_mont(xp, ntt_mod.ntt(xp, pe, ra), ra.q, ra.pinv, ra.r2)
+            out = []
+            for k in range(2):
+                ext = bz.extend(xp, a.data[k])
+                dq = _u.mont_mul(xp, ntt_mod.ntt(xp, a.data[k], ring), pq, ring.q, ring.pinv)
+                da = _u.mont_mul(xp, ntt_mod.ntt(xp, ext, ra), pa, ra.q, ra.pinv)
+                dq = ntt_mod.intt(xp, dq, ring)
+                da = ntt_mod.intt(xp, da, ra)
+                out.append(bz.scale_and_back(xp, dq, da))
+            return Ciphertext(data=xp.stack(out), level=level)
+        if isinstance(b, PlaintextRingt):
+            lifted = xp.broadcast_to(b.data.astype(_U64), (level + 1, self.n))
+            f = _u.to_mont(xp, ntt_mod.ntt(xp, lifted, ring), ring.q, ring.pinv, ring.r2)
+            ca = ntt_mod.ntt(xp, a.data, ring)
+            prod = _u.mont_mul(xp, ca, f, ring.q, ring.pinv)
+            return Ciphertext(data=ntt_mod.intt(xp, prod, ring), level=level)
+        if isinstance(b, PlaintextMul):
+            ca = ntt_mod.ntt(xp, a.data, ring)
+            prod = _u.mont_mul(xp, ca, b.data[:level + 1], ring.q, ring.pinv)
+            return Ciphertext(data=ntt_mod.intt(xp, prod, ring), level=level)
+        raise TypeError(type(b))
+
+    def relinearize(self, xp, ct3: Ciphertext, rlk) -> Ciphertext:
+        level = ct3.level
+        ring = self.ring(level)
+        e0, e1 = self.switcher.switch(xp, ct3.data[2], rlk, level)
+        c0 = _u.addmod(xp, ct3.data[0], e0, ring.q)
+        c1 = _u.addmod(xp, ct3.data[1], e1, ring.q)
+        return Ciphertext(data=xp.stack([c0, c1]), level=level)
+
+    def rescale(self, xp, ct: Ciphertext) -> Ciphertext:
+        """BFV modulus switching: drop the last prime, round exactly."""
+        rs = self.rescaler(ct.level)
+        return Ciphertext(data=rs(xp, ct.data), level=ct.level - 1, is_ntt=ct.is_ntt)
+
+    def apply_galois(self, xp, ct: Ciphertext, galois_elt: int, glk) -> Ciphertext:
+        level = ct.level
+        ring = self.ring(level)
+        c0 = apply_automorphism_coeff(xp, ct.data[0], ring.q, self.n, galois_elt)
+        c1 = apply_automorphism_coeff(xp, ct.data[1], ring.q, self.n, galois_elt)
+        e0, e1 = self.switcher.switch(xp, c1, glk, level)
+        return Ciphertext(data=xp.stack([_u.addmod(xp, c0, e0, ring.q), e1]), level=level)
+
+    def rotate_cols(self, xp, ct: Ciphertext, step: int, glk) -> Ciphertext:
+        return self.apply_galois(xp, ct, galois_elt_col(step, self.n), glk)
+
+    def rotate_rows(self, xp, ct: Ciphertext, glk) -> Ciphertext:
+        return self.apply_galois(xp, ct, galois_elt_row(self.n), glk)
+
+    def mult_scalar(self, xp, ct: Ciphertext, scalar: int) -> Ciphertext:
+        ring = self.ring(ct.level)
+        sm = _col([_mont(scalar % qi, qi) for qi in self.q[:ct.level + 1]])
+        return Ciphertext(data=_u.mont_mul(xp, ct.data, sm, ring.q, ring.pinv),
+                          level=ct.level, is_ntt=ct.is_ntt)
+
+    def drop_level(self, xp, ct: Ciphertext, levels: int = 1) -> Ciphertext:
+        return Ciphertext(data=ct.data[..., :ct.level + 1 - levels, :],
+                          level=ct.level - levels, is_ntt=ct.is_ntt)

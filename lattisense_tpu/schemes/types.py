@@ -1,0 +1,67 @@
+"""Lightweight FHE data carriers (arrays are NumPy on host, JAX on device).
+
+Mirrors the reference's handle types (fhe_ops_lib/fhe_lib_v2.h:1223-1441)
+and the three plaintext formats of the platform overview table
+(doc/doc-en/2_Platform_Overview.md:66-75):
+
+- Plaintext      : BFV — Δ·m over Q_ℓ, coeff domain. CKKS — Δ·m, NTT domain.
+- PlaintextRingt : single-component message (BFV: m mod t; CKKS: small
+                   scaled integer coeffs), lifted to the chain at op time.
+- PlaintextMul   : NTT + Montgomery domain over Q_ℓ, cheapest ct·pt multiply.
+"""
+
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class Plaintext:
+    data: Any                 # (L, n) u64
+    level: int
+    is_ntt: bool = False
+    scale: float = 1.0        # CKKS only
+
+
+@dataclass
+class PlaintextRingt:
+    data: Any                 # (n,) u64
+    scale: float = 1.0        # CKKS only
+
+
+@dataclass
+class PlaintextMul:
+    data: Any                 # (L, n) u64, NTT + Montgomery
+    level: int
+    scale: float = 1.0
+
+
+@dataclass
+class Ciphertext:
+    data: Any                 # (degree+1, L, n) u64
+    level: int
+    is_ntt: bool = False
+    is_mform: bool = False
+    scale: float = 1.0        # CKKS only
+
+    @property
+    def degree(self) -> int:
+        return self.data.shape[0] - 1
+
+
+@dataclass
+class KeySwitchKey:
+    """Hybrid key-switching key: β digits over Q_full ∪ P, NTT+Montgomery."""
+    key_q: Any                # (β, 2, Lq_full, n)
+    key_p: Any                # (β, 2, |P|, n)
+    level: int = -1
+    sp_level: int = -1
+
+
+@dataclass
+class PublicKey:
+    data: Any                 # (2, Lq_full, n), NTT domain
+
+
+@dataclass
+class GaloisKeys:
+    keys: dict = field(default_factory=dict)   # galois_element -> KeySwitchKey
