@@ -63,25 +63,21 @@ class BasisConv:
         return _u.shoup_mul(xp, x, self.qhat_inv, self.qhat_inv_shoup, self.src_q)
 
     def convert(self, xp, y):
-        """Σ_i y_i * [Q/q_i]_{d_t} mod d_t;  y: (..., L, n) → (..., T, n)."""
-        L = len(self.src)
-        out = None
-        for i in range(L):
-            yi = y[..., i:i + 1, :]
-            term = _u.mont_mul(xp, yi, self.qhat_dst_mont[:, i:i + 1],
-                               self.dst_q, self.dst_pinv)
-            out = term if out is None else _u.addmod(xp, out, term, self.dst_q)
-        return out
+        """Σ_i y_i * [Q/q_i]_{d_t} mod d_t;  y: (..., L, n) → (..., T, n).
+
+        Vectorized over (T, L): one wide mont_mul on (..., T, L, n) plus a
+        log-depth modular reduction tree — O(log L) traced ops instead of
+        O(L·T), and full (T·L·n)-lane VPU work per op.
+        """
+        terms = _u.mont_mul(xp, y[..., None, :, :], self.qhat_dst_mont[:, :, None],
+                            self.dst_q[:, :, None], self.dst_pinv[:, :, None])
+        return _u.modsum_tree(xp, terms, self.dst_q[:, :, None], axis=-2)
 
     def convert_mtilde(self, xp, y):
-        """Same conversion targeting m̃ = 2^16 (masks only)."""
+        """Same conversion targeting m̃ = 2^16 (masks only; the u64 sum of
+        L < 2^16 32-bit terms cannot wrap)."""
         mask = y.dtype.type(MTILDE - 1)
-        L = len(self.src)
-        acc = None
-        for i in range(L):
-            term = (y[..., i, :] & mask) * self.qhat_mtilde[i]
-            acc = term if acc is None else acc + term
-        return acc & mask
+        return ((y & mask) * self.qhat_mtilde[:, None]).sum(axis=-2) & mask
 
     def __call__(self, xp, x):
         return self.convert(xp, self.decompose(xp, x))

@@ -95,6 +95,35 @@ def from_mont(xp, a, p, pinv):
     return redc(xp, zero, a, p, pinv)
 
 
+def modsum_tree(xp, x, p, axis: int):
+    """Modular sum over ``axis`` by pairwise addmod halving (log2 steps).
+
+    Entries must be in [0, p); ``p`` broadcastable against the reduced
+    shape. Vectorized alternative to per-element accumulation loops — keeps
+    the traced op count at O(log L) instead of O(L) and exposes full-width
+    VPU work per step.
+    """
+    if axis < 0:
+        axis += x.ndim
+    size = x.shape[axis]
+    # pad to a power of two with zeros
+    pow2 = 1 << (size - 1).bit_length()
+    if pow2 != size:
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (0, pow2 - size)
+        x = xp.pad(x, pad)
+    while x.shape[axis] > 1:
+        half = x.shape[axis] // 2
+        ix_a = [slice(None)] * x.ndim
+        ix_b = [slice(None)] * x.ndim
+        ix_a[axis] = slice(0, half)
+        ix_b[axis] = slice(half, 2 * half)
+        x = addmod(xp, x[tuple(ix_a)], x[tuple(ix_b)], p)
+    ix = [slice(None)] * x.ndim
+    ix[axis] = 0
+    return x[tuple(ix)]
+
+
 def shoup_mul(xp, a, w, w_shoup, p):
     """a * w mod p where w is a constant with precomputed Shoup companion.
 

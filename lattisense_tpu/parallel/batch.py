@@ -1,0 +1,84 @@
+"""Graph-level (batch) sharding of FHE pipelines over a device mesh.
+
+The reference extracts throughput from many independent FHE ops in flight
+on a thread pool (SURVEY.md §2.8 item 1, cpu_task_utils.h:378). The TPU
+equivalent: vmap the single-ciphertext engine pipeline over a batch axis,
+shard that axis over the mesh's ``op`` dimension, and optionally shard the
+RNS limb axis over ``limb`` — XLA GSPMD partitions the program and inserts
+ICI collectives where limbs interact (base conversion, key-switch inner
+products).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..schemes.types import Ciphertext, KeySwitchKey
+from .mesh import ct_batch_spec, key_spec
+
+
+def _wrap_ct(data, level, is_ntt, scale):
+    return Ciphertext(data=data, level=level, is_ntt=is_ntt, scale=scale)
+
+
+def make_batched_step(engine, step_fn, level: int, *, mesh=None,
+                      limb_sharded: bool = False, is_ntt: bool = False,
+                      n_inputs: int = 2, donate: bool = False):
+    """Compile ``step_fn(engine, *cts, keys) -> ct`` into a batched, sharded,
+    jitted callable over raw arrays.
+
+    Returns f(a_data[B,2,L,n], ..., keys) -> out_data[B,...]. When ``mesh``
+    is given, inputs are constrained to (op × limb) shardings; otherwise the
+    single-chip jit path is produced (the driver's ``entry()`` contract).
+    """
+    scale = getattr(engine.params, 'scale', 1.0)
+
+    def single(*args):
+        ct_args = [ _wrap_ct(a, level, is_ntt, scale) for a in args[:n_inputs] ]
+        keys = args[n_inputs]
+        return step_fn(engine, *ct_args, keys).data
+
+    batched = jax.vmap(single, in_axes=(*([0] * n_inputs), None))
+
+    if mesh is None:
+        return jax.jit(batched, donate_argnums=tuple(range(n_inputs)) if donate else ())
+
+    ct_sh = NamedSharding(mesh, ct_batch_spec(limb_sharded))
+    key_sh = NamedSharding(mesh, key_spec(limb_sharded))
+
+    def sharded(*args):
+        cts = [jax.lax.with_sharding_constraint(a, ct_sh) for a in args[:n_inputs]]
+        keys = jax.tree.map(lambda k: jax.lax.with_sharding_constraint(k, key_sh),
+                            args[n_inputs])
+        out = batched(*cts, keys)
+        return jax.lax.with_sharding_constraint(out, ct_sh)
+
+    return jax.jit(sharded, donate_argnums=tuple(range(n_inputs)) if donate else ())
+
+
+# ---- flagship pipelines (benchmark parity: examples/benchmark_cpu) --------
+
+def bfv_mult_relin(engine, a, b, keys):
+    """BFV mult + relinearize (benchmark_cpu.cpp:27-51 measured op)."""
+    return engine.relinearize(jnp, engine.mult(jnp, a, b), keys['rlk'])
+
+
+def ckks_mult_relin_rescale(engine, a, b, keys):
+    """CKKS mult + relin + rescale (benchmark_cpu.cpp:53-78)."""
+    return engine.rescale(jnp, engine.relinearize(jnp, engine.mult(jnp, a, b),
+                                                  keys['rlk']))
+
+
+def make_rotate_step(galois_elt: int):
+    def rot(engine, a, keys):
+        return engine.apply_galois(jnp, a, galois_elt, keys['glk'][galois_elt])
+    return rot
+
+
+def key_tree(context, galois_elts=()):
+    """Context keys → plain array pytree for jit arguments."""
+    tree = {'rlk': KeySwitchKey(key_q=context.rlk.key_q, key_p=context.rlk.key_p,
+                                level=context.rlk.level, sp_level=context.rlk.sp_level)}
+    if galois_elts:
+        tree['glk'] = {e: context.glk.keys[e] for e in galois_elts}
+    return tree

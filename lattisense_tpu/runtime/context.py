@@ -1,0 +1,201 @@
+"""User-facing FHE contexts: key ownership + eager op facade.
+
+TPU-native equivalent of the reference's Handle-based contexts
+(fhe_ops_lib/fhe_lib_v2.h:358-706 BfvContext, :831-1163 CkksContext): a
+context owns the parameter set, the secret/public/evaluation keys, and
+exposes encode/encrypt/decrypt plus eager evaluation ops. Unlike the
+reference there is no foreign-handle table — ciphertexts are plain array
+dataclasses (schemes/types.py), and the compiled path (runtime/task.py)
+consumes the same keys as jit-traced arrays.
+
+``make_public_context()`` drops the secret key for the server side of
+client/server protocols (reference: fhe_lib_v2.h:392).
+"""
+
+import numpy as np
+
+from ..params import BfvParams, CkksParams
+from ..schemes import keys as K
+from ..schemes.bfv import BfvEngine
+from ..schemes.ckks import CkksEngine
+from ..schemes.galois import galois_elt_col, galois_elt_row
+from ..schemes.types import GaloisKeys
+
+
+class FheContext:
+    """Base: key storage shared by BFV/CKKS (reference FheContext role)."""
+
+    engine_cls = None
+
+    def __init__(self, params, seed=None):
+        self.params = params
+        self.engine = self.engine_cls(params)
+        self.rng = np.random.default_rng(seed)
+        self.sk = None
+        self.pk = None
+        self.rlk = None
+        self.glk = GaloisKeys()
+        self.swk = {}              # name -> KeySwitchKey (bootstrap swk_dts/swk_std)
+
+    # ---- key generation -------------------------------------------------
+    @classmethod
+    def create_random_context(cls, params, seed=None):
+        """Sample sk/pk/rlk (reference: CreateRandomBfvContext path,
+        fhe_lib_v2.cpp:85); deterministic when ``seed`` is given
+        (create_random_context_with_seed parity, fhe_lib_v2.h:846)."""
+        ctx = cls(params, seed)
+        q, p, n = tuple(params.q), tuple(params.p), params.n
+        ctx.sk = K.SecretKey(K.sample_ternary(ctx.rng, n))
+        ctx.pk = K.gen_public_key(ctx.rng, ctx.sk, q, n)
+        ctx.rlk = K.gen_relin_key(ctx.rng, ctx.sk, q, p, n)
+        return ctx
+
+    @classmethod
+    def create_empty_context(cls, params):
+        """Keyless context (server side before keys arrive; reference
+        CreateEmpty*Context)."""
+        return cls(params)
+
+    def gen_rotation_keys_for_rotations(self, rotations, swap_rows=False, level=None):
+        """Galois keys for the NAF power-of-two sub-rotations of each step
+        (reference: GenBfvContextRotationKeysForRotations; decomposition
+        mirrors the frontend's get_glk_col)."""
+        from ..frontend.custom_task import get_glk_col
+        q, p, n = tuple(self.params.q), tuple(self.params.p), self.params.n
+        for step in rotations:
+            pos, negs = get_glk_col(step, n)
+            sub_steps = [2 ** i for i in pos] + [-(2 ** i) for i in negs]
+            for ss in sub_steps:
+                if abs(ss) % (n // 2) == 0:
+                    continue
+                elt = galois_elt_col(ss, n)
+                if elt not in self.glk.keys:
+                    self.glk.keys[elt] = K.gen_galois_key(self.rng, self.sk, elt, q, p, n)
+        if swap_rows:
+            elt = galois_elt_row(n)
+            if elt not in self.glk.keys:
+                self.glk.keys[elt] = K.gen_galois_key(self.rng, self.sk, elt, q, p, n)
+
+    def gen_galois_keys_for_elements(self, galois_elements):
+        q, p, n = tuple(self.params.q), tuple(self.params.p), self.params.n
+        for elt in galois_elements:
+            if elt not in self.glk.keys:
+                self.glk.keys[elt] = K.gen_galois_key(self.rng, self.sk, elt, q, p, n)
+
+    def make_public_context(self):
+        """Evaluation-only copy: public/eval keys, no secret key."""
+        pub = type(self)(self.params)
+        pub.pk, pub.rlk, pub.glk, pub.swk = self.pk, self.rlk, self.glk, self.swk
+        return pub
+
+    @property
+    def is_public(self) -> bool:
+        return self.sk is None
+
+    # ---- encode / encrypt / decrypt -------------------------------------
+    def encode(self, values, level=None, **kw):
+        level = self.params.max_level if level is None else level
+        return self.engine.encode(values, level, **kw)
+
+    def encode_ringt(self, values, **kw):
+        return self.engine.encode_ringt(values, **kw)
+
+    def encode_mul(self, values, level=None, **kw):
+        level = self.params.max_level if level is None else level
+        return self.engine.encode_mul(values, level, **kw)
+
+    def encrypt(self, pt):
+        return self.engine.encrypt_asymmetric(self.rng, self.pk, pt)
+
+    def encrypt_symmetric(self, pt):
+        if self.sk is None:
+            raise RuntimeError('symmetric encryption requires the secret key')
+        return self.engine.encrypt_symmetric(self.rng, self.sk, pt)
+
+    def decrypt(self, ct):
+        if self.sk is None:
+            raise RuntimeError('cannot decrypt with a public context')
+        return self.engine.decrypt(self.sk, ct)
+
+    def decrypt_decode(self, ct):
+        if self.sk is None:
+            raise RuntimeError('cannot decrypt with a public context')
+        return self.engine.decrypt_decode(self.sk, ct)
+
+    # ---- eager eval ops (host NumPy; device path goes through FheTask) ---
+    def add(self, a, b):
+        return self.engine.add(np, a, b)
+
+    def sub(self, a, b):
+        return self.engine.sub(np, a, b)
+
+    def neg(self, a):
+        return self.engine.neg(np, a)
+
+    def mult(self, a, b):
+        return self.engine.mult(np, a, b)
+
+    def relinearize(self, ct3):
+        return self.engine.relinearize(np, ct3, self.rlk)
+
+    def mult_relin(self, a, b):
+        return self.relinearize(self.mult(a, b))
+
+    def rescale(self, ct, *a, **kw):
+        return self.engine.rescale(np, ct, *a, **kw)
+
+    def _glk_for(self, elt: int):
+        if elt not in self.glk.keys:
+            raise RuntimeError(f'missing Galois key for element {elt}; call '
+                               f'gen_rotation_keys_for_rotations first')
+        return self.glk.keys[elt]
+
+    def rotate_cols(self, ct, steps: int):
+        """NAF-composite rotation (reference rotate_cols semantics:
+        decompose steps into ±2^k sub-rotations, frontend get_glk_col)."""
+        from ..frontend.custom_task import naf_decompose
+        n = self.params.n
+        out = ct
+        for s in naf_decompose(steps):
+            out = self._rotate_unit(out, s)
+        return out
+
+    def advanced_rotate_cols(self, ct, steps: int):
+        """Single direct-key rotation (reference advanced_rotate_cols)."""
+        return self._rotate_unit(ct, steps)
+
+    def _rotate_unit(self, ct, step: int):
+        elt = galois_elt_col(step, self.params.n)
+        return self.engine.apply_galois(np, ct, elt, self._glk_for(elt))
+
+    def rotate_rows(self, ct):
+        elt = galois_elt_row(self.params.n)
+        return self.engine.apply_galois(np, ct, elt, self._glk_for(elt))
+
+
+class BfvContext(FheContext):
+    engine_cls = BfvEngine
+
+    def mult_scalar(self, ct, scalar: int):
+        return self.engine.mult_scalar(np, ct, scalar)
+
+
+class CkksContext(FheContext):
+    engine_cls = CkksEngine
+
+    def conjugate(self, ct):
+        return self.rotate_rows(ct)
+
+    def drop_level(self, ct, levels=1):
+        return self.engine.drop_level(np, ct, levels)
+
+    def set_log_slots(self, log_slots: int):
+        self.params.set_log_slots(log_slots)
+
+    def mult_scalar(self, ct, scalar: float):
+        return self.engine.mult_scalar(np, ct, scalar)
+
+
+def create_context_for_params(params, seed=None, random=True):
+    cls = BfvContext if isinstance(params, BfvParams) else CkksContext
+    return cls.create_random_context(params, seed) if random else cls(params)

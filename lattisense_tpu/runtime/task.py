@@ -1,0 +1,396 @@
+"""Compiled-task runtime: mega_ag.json → one jitted XLA program.
+
+TPU-native replacement for the reference's C++ dataflow scheduler
+(mega_ag_runners/mega_ag.cpp:125 MegaAG::load +
+mega_ag_runners/cpu_task_utils.h:378 run_tasks). Where the reference
+interprets the graph with a 32-thread priority pool — one mutex-guarded
+dispatch per multi-ms FHE op — this loader topologically sorts the graph
+once at load time and *traces the whole task into a single XLA program*:
+
+- per-op executor dispatch (input-shape–selected variants, matching
+  mega_ag_runners/cpu/mega_ag_executors_cpu.cpp:96-505) happens at load
+  time, not run time;
+- XLA's scheduler replaces the priority queue (bottom-level priorities are
+  moot: the compiler sees the whole dependency graph);
+- ref-count memory purging (cpu_task_utils.h:282) becomes XLA buffer
+  liveness + donated input buffers;
+- the ABI bridge (EXPORT/IMPORT_TO_ABI node insertion, mega_ag.cpp:307-585)
+  becomes the host↔device boundary of `jax.jit` itself.
+
+An eager NumPy interpreter mode (`mode='eager'`) mirrors the reference CPU
+runner op-for-op for debugging and as the conformance oracle.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+from ..params import params_from_task_json, BfvParams
+from ..schemes.bfv import BfvEngine
+from ..schemes.ckks import CkksEngine
+from ..schemes.types import (Ciphertext, KeySwitchKey, Plaintext, PlaintextMul,
+                             PlaintextRingt)
+from . import check_sig
+
+_KEY_TYPES = ('rlk', 'glk', 'swk')
+
+
+class _Node:
+    __slots__ = ('index', 'id', 'type', 'level', 'degree', 'is_ntt', 'is_mform',
+                 'sp_level', 'galois_element', 'is_custom', 'attributes')
+
+    def __init__(self, index: int, d: dict):
+        self.index = index
+        self.id = d['id']
+        self.type = d['type']
+        self.level = d.get('level', -1)
+        self.degree = d.get('degree', -1)
+        self.is_ntt = d.get('is_ntt', False)
+        self.is_mform = d.get('is_mform', False)
+        self.sp_level = d.get('sp_level')
+        self.galois_element = d.get('galois_element')
+        self.is_custom = d.get('is_custom', False)
+        self.attributes = d.get('attributes', {})
+
+
+def _wrap_input(node: _Node, array, scale: float):
+    """Array → typed carrier using the data node's static metadata."""
+    t = node.type
+    if t in ('ct', 'ct3'):
+        return Ciphertext(data=array, level=node.level, is_ntt=node.is_ntt,
+                          is_mform=node.is_mform, scale=scale)
+    if t == 'pt':
+        return Plaintext(data=array, level=node.level, is_ntt=node.is_ntt,
+                         scale=scale)
+    if t == 'pt_ringt':
+        return PlaintextRingt(data=array, scale=scale)
+    if t == 'pt_mul':
+        return PlaintextMul(data=array, level=node.level, scale=scale)
+    raise ValueError(f'cannot wrap input of type {t}')
+
+
+class FheTaskTpu:
+    """Loads a compiled task directory and runs it on device (jit) or host.
+
+    API parity with the reference SDK entry point FheTaskCpu
+    (cxx_sdk_v2/cxx_fhe_task.h:117): construct from the task directory,
+    then ``run(context, inputs)`` → (outputs, duration_ns).
+    """
+
+    def __init__(self, task_dir: str, mode: str = 'jit', donate_inputs: bool = False):
+        with open(os.path.join(task_dir, 'mega_ag.json')) as f:
+            self.mag = json.load(f)
+        with open(os.path.join(task_dir, 'task_signature.json')) as f:
+            self.signature = json.load(f)
+        assert mode in ('jit', 'eager')
+        self.mode = mode
+        self.donate_inputs = donate_inputs
+        self.params = params_from_task_json(self.mag['parameter'])
+        self.algo = self.mag['algorithm']
+        self.engine = (BfvEngine if self.algo == 'BFV' else CkksEngine)(self.params)
+        self.data = {int(k): _Node(int(k), v) for k, v in self.mag['data'].items()}
+        self.inputs = list(self.mag['inputs'])
+        self.outputs = list(self.mag['outputs'])
+        self._build_plan()
+        self._jitted = None
+
+    # ------------------------------------------------------------------
+    # Plan construction (load-time executor binding, reference parity:
+    # MegaAG::from_json + bind_cpu_executor)
+    # ------------------------------------------------------------------
+    def _build_plan(self):
+        computes = {int(k): v for k, v in self.mag['compute'].items()}
+        # topo order over compute nodes (Kahn on data availability)
+        available = set(self.inputs)
+        pending = dict(computes)
+        order = []
+        while pending:
+            ready = [idx for idx, c in pending.items()
+                     if all(i in available for i in c['inputs'])]
+            if not ready:
+                raise ValueError('mega_ag graph contains a cycle or missing input')
+            for idx in sorted(ready):
+                order.append(pending.pop(idx))
+                for o in computes[idx]['outputs']:
+                    available.add(o)
+        self.plan = [self._bind_executor(c) for c in order]
+
+    def _classify_inputs(self, c: dict):
+        """Split compute inputs into (cts, ct3s, pts, key_nodes) preserving
+        order — the executor-selection rule of CPU_EXECUTOR_SETUP
+        (mega_ag_executors_cpu.cpp:33)."""
+        cts, ct3s, pts, keys = [], [], [], []
+        for i in c['inputs']:
+            node = self.data[i]
+            if node.type == 'ct':
+                cts.append(node)
+            elif node.type == 'ct3':
+                ct3s.append(node)
+            elif node.type in ('pt', 'pt_ringt', 'pt_mul'):
+                pts.append(node)
+            elif node.type in ('rlk', 'glk', 'swk'):
+                keys.append(node)
+            else:
+                raise ValueError(f'unknown input datum type {node.type}')
+        return cts, ct3s, pts, keys
+
+    def _bind_executor(self, c: dict):
+        """One compute node → closure(env, xp, keys). Dispatch mirrors
+        bind_cpu_{add,sub,...} (mega_ag_executors_cpu.cpp:96-505)."""
+        op = c['type']
+        eng = self.engine
+        out_idx = c['outputs'][0] if c['outputs'] else None
+        cts, ct3s, pts, keynodes = self._classify_inputs(c)
+
+        def ctv(env, k=0):
+            return env[cts[k].index]
+
+        if op in ('add', 'sub'):
+            f = eng.add if op == 'add' else eng.sub
+            if len(c['inputs']) == 1:
+                def run(env, xp, keys):
+                    env[out_idx] = f(xp, ctv(env), ctv(env))
+            elif pts:
+                pi = pts[0].index
+
+                def run(env, xp, keys):
+                    env[out_idx] = f(xp, ctv(env), env[pi])
+            else:
+                def run(env, xp, keys):
+                    env[out_idx] = f(xp, ctv(env), env[cts[1].index])
+            return run
+
+        if op == 'neg':
+            def run(env, xp, keys):
+                env[out_idx] = eng.neg(xp, ctv(env))
+            return run
+
+        if op == 'mult':
+            if len(c['inputs']) == 1:
+                def run(env, xp, keys):
+                    env[out_idx] = eng.mult(xp, ctv(env), ctv(env))
+            elif pts:
+                pi = pts[0].index
+
+                def run(env, xp, keys):
+                    env[out_idx] = eng.mult(xp, ctv(env), env[pi])
+            else:
+                def run(env, xp, keys):
+                    env[out_idx] = eng.mult(xp, ctv(env), env[cts[1].index])
+            return run
+
+        if op == 'relin':
+            src = ct3s[0].index
+
+            def run(env, xp, keys):
+                env[out_idx] = eng.relinearize(xp, env[src], keys['rlk'])
+            return run
+
+        if op == 'rescale':
+            def run(env, xp, keys):
+                env[out_idx] = eng.rescale(xp, ctv(env))
+            return run
+
+        if op == 'drop_level':
+            if self.algo == 'BFV':
+                raise ValueError('DROP_LEVEL only supported for CKKS scheme')
+
+            def run(env, xp, keys):
+                env[out_idx] = eng.drop_level(xp, ctv(env), 1)
+            return run
+
+        if op in ('rotate_col', 'rotate_row'):
+            elt = keynodes[0].galois_element
+
+            def run(env, xp, keys):
+                env[out_idx] = eng.apply_galois(xp, ctv(env), elt, keys['glk'][elt])
+            return run
+
+        if op in ('cmp_sum', 'cmpac_sum'):
+            n = c['sum_cnt']
+            accumulate = op == 'cmpac_sum'
+            ct_nodes, pt_nodes = cts[:n], pts[:n]
+            acc_node = cts[n] if accumulate else None
+
+            def run(env, xp, keys):
+                total = None
+                for ci, pi in zip(ct_nodes, pt_nodes):
+                    prod = eng.mult(xp, env[ci.index], env[pi.index])
+                    total = prod if total is None else eng.add(xp, total, prod)
+                if acc_node is not None:
+                    total = eng.add(xp, total, env[acc_node.index])
+                env[out_idx] = total
+            return run
+
+        if op == 'bootstrap':
+            def run(env, xp, keys):
+                ct = env[cts[0].index]
+                input_scale = ct.scale
+                ct = Ciphertext(data=ct.data, level=ct.level, is_ntt=ct.is_ntt,
+                                scale=self.params.scale)
+                out = eng.bootstrap(xp, ct, keys)
+                out.scale = input_scale
+                env[out_idx] = out
+            return run
+
+        if op in ('to_ntt', 'to_inv_ntt', 'to_mf', 'to_mul'):
+            meth = getattr(eng, op)
+
+            def run(env, xp, keys):
+                env[out_idx] = meth(xp, ctv(env))
+            return run
+
+        if op == 'rns_sp_decomp':
+            def run(env, xp, keys):
+                env[out_idx] = eng.rns_sp_decomp(xp, ctv(env))
+            return run
+
+        raise ValueError(f'unknown operation type "{op}"')
+
+    # ------------------------------------------------------------------
+    # Execution
+    # ------------------------------------------------------------------
+    def _key_signature_order(self):
+        """The serializer appends key nodes to mega_ag.inputs after the data
+        args: rlk, then glk (col then row, dict order), then btp swks
+        (frontend/custom_task.py process_custom_task)."""
+        return [i for i in self.inputs if self.data[i].type in _KEY_TYPES]
+
+    def _data_input_nodes(self):
+        return [self.data[i] for i in self.inputs
+                if self.data[i].type not in _KEY_TYPES]
+
+    def _flatten_args(self, input_values: dict):
+        """Positional binding: signature row order × row-major flattening,
+        exactly like CArgument marshaling (cpu_task_utils.h:235)."""
+        flat = []
+        rows = [r for r in self.signature['online'] if r['phase'] == 'in']
+        rows += self.signature.get('offline', [])
+        for row in rows:
+            flat += check_sig.flatten(input_values[row['id']])
+        return flat
+
+    def _trace(self, xp, input_arrays, key_tree):
+        env = {}
+        data_nodes = self._data_input_nodes()
+        scale = getattr(self.params, 'scale', 1.0)
+        for node, arr in zip(data_nodes, input_arrays):
+            env[node.index] = _wrap_input(node, arr, scale)
+        keys = {'rlk': None, 'glk': {}, 'swk': {}}
+        for i in self._key_signature_order():
+            node = self.data[i]
+            if node.type == 'rlk':
+                kq, kp = key_tree['rlk']
+                keys['rlk'] = KeySwitchKey(key_q=kq, key_p=kp, level=node.level,
+                                           sp_level=node.sp_level)
+            elif node.type == 'glk':
+                kq, kp = key_tree['glk'][node.galois_element]
+                keys['glk'][node.galois_element] = KeySwitchKey(
+                    key_q=kq, key_p=kp, level=node.level, sp_level=node.sp_level)
+            elif node.type == 'swk':
+                kq, kp = key_tree['swk'][node.id]
+                keys['swk'][node.id] = KeySwitchKey(
+                    key_q=kq, key_p=kp, level=node.level, sp_level=node.sp_level)
+        for step in self.plan:
+            step(env, xp, keys)
+        return [env[o].data for o in self.outputs]
+
+    def _context_key_tree(self, context):
+        tree = {'rlk': None, 'glk': {}, 'swk': {}}
+        needed = self._key_signature_order()
+        for i in needed:
+            node = self.data[i]
+            if node.type == 'rlk':
+                tree['rlk'] = (context.rlk.key_q, context.rlk.key_p)
+            elif node.type == 'glk':
+                k = context.glk.keys[node.galois_element]
+                tree['glk'][node.galois_element] = (k.key_q, k.key_p)
+            elif node.type == 'swk':
+                k = context.swk[node.id]
+                tree['swk'][node.id] = (k.key_q, k.key_p)
+        return tree
+
+    def check(self, context, input_values: dict):
+        check_sig.check_signatures(context, self.signature, input_values,
+                                   [r for r in self.signature['online']
+                                    if r['phase'] == 'out'])
+        check_sig.check_parameter(context, self.mag['parameter'])
+
+    def run(self, context, input_values: dict):
+        """Validate, execute, return ({output_id: value}, duration_ns).
+
+        The ns return mirrors FheTaskCpu::run (cxx_fhe_task_cpu.cpp:104) so
+        benchmark harnesses compute ops/s identically.
+        """
+        self.check(context, input_values)
+        flat_args = self._flatten_args(input_values)
+        key_tree = self._context_key_tree(context)
+        arrays = [np.asarray(v.data) for v in flat_args]
+
+        start = time.perf_counter_ns()
+        if self.mode == 'eager':
+            out_arrays = self._trace(np, arrays, key_tree)
+        else:
+            import jax
+            import jax.numpy as jnp
+            if self._jitted is None:
+                donate = (0,) if self.donate_inputs else ()
+                self._jitted = jax.jit(
+                    lambda ins, kt: self._trace(jnp, ins, kt),
+                    donate_argnums=donate)
+            out_arrays = self._jitted(arrays, key_tree)
+            out_arrays = [np.asarray(a) for a in out_arrays]   # block + fetch
+        duration_ns = time.perf_counter_ns() - start
+
+        # re-wrap outputs per graph metadata, grouped by signature rows
+        scale = getattr(self.params, 'scale', 1.0)
+        out_nodes = [self.data[i] for i in self.outputs]
+        flat_out = []
+        for node, arr in zip(out_nodes, out_arrays):
+            v = _wrap_input(node, arr, scale)
+            if isinstance(v, Ciphertext):
+                v.scale = self._static_output_scale(node)
+            flat_out.append(v)
+        outputs = {}
+        pos = 0
+        for row in (r for r in self.signature['online'] if r['phase'] == 'out'):
+            cnt = 1
+            for s in row['size']:
+                cnt *= s
+            vals = flat_out[pos:pos + cnt]
+            pos += cnt
+            outputs[row['id']] = vals[0] if row['size'] == [1] else _reshape(vals, row['size'])
+        return outputs, duration_ns
+
+    def _static_output_scale(self, node: _Node) -> float:
+        """Output scale from static metadata (CKKS): replay scale algebra at
+        load time is overkill — the default-scale invariant of the frontend
+        (every output is at a rescaled default) matches the reference's
+        context-default convention."""
+        return getattr(self.params, 'scale', 1.0)
+
+    def compile(self, context, input_values: dict):
+        """Ahead-of-time compile (jit lower+compile) without executing."""
+        if self.mode != 'jit':
+            return
+        import jax
+        import jax.numpy as jnp
+        flat_args = self._flatten_args(input_values)
+        key_tree = self._context_key_tree(context)
+        arrays = [np.asarray(v.data) for v in flat_args]
+        if self._jitted is None:
+            self._jitted = jax.jit(lambda ins, kt: self._trace(jnp, ins, kt))
+        self._jitted.lower(arrays, key_tree).compile()
+
+
+def _reshape(flat: list, shape: list):
+    if len(shape) <= 1:
+        return flat
+    step = len(flat) // shape[0]
+    return [_reshape(flat[i * step:(i + 1) * step], shape[1:]) for i in range(shape[0])]
+
+
+# Reference-parity aliases (FheTaskCpu name used in examples/docs)
+FheTask = FheTaskTpu

@@ -223,47 +223,39 @@ class BfvEngine:
         if isinstance(b, Ciphertext):
             bz = self.behz(level)
             ra = bz.ring_aux
-            polys = [a.data[0], a.data[1], b.data[0], b.data[1]]
-            fq, fa = [], []
-            for poly in polys:
-                ext = bz.extend(xp, poly)
-                nq = ntt_mod.ntt(xp, poly, ring)
-                na = ntt_mod.ntt(xp, ext, ra)
-                fq.append(_u.to_mont(xp, nq, ring.q, ring.pinv, ring.r2))
-                fa.append(_u.to_mont(xp, na, ra.q, ra.pinv, ra.r2))
-            out = []
-            for (i, j, k, l2, dbl) in ((0, 2, None, None, False),
-                                       (0, 3, 1, 2, False),
-                                       (1, 3, None, None, False)):
-                dq = _u.mont_mul(xp, fq[i], fq[j], ring.q, ring.pinv)
-                da = _u.mont_mul(xp, fa[i], fa[j], ra.q, ra.pinv)
-                if k is not None:
-                    dq = _u.addmod(xp, dq, _u.mont_mul(xp, fq[k], fq[l2], ring.q, ring.pinv), ring.q)
-                    da = _u.addmod(xp, da, _u.mont_mul(xp, fa[k], fa[l2], ra.q, ra.pinv), ra.q)
-                # leave Montgomery domain: operands were both mont → product has
-                # one extra R; mont_mul already removed one R each time, and the
-                # two to_mont added two → net one extra R; strip it.
-                dq = _u.from_mont(xp, dq, ring.q, ring.pinv)
-                da = _u.from_mont(xp, da, ra.q, ra.pinv)
-                dq = ntt_mod.intt(xp, dq, ring)
-                da = ntt_mod.intt(xp, da, ra)
-                out.append(bz.scale_and_back(xp, dq, da))
-            return Ciphertext(data=xp.stack(out), level=level)
+            # batch all four polys through extend/NTT: one (4, L, n) pass
+            polys = xp.concatenate([a.data[:2], b.data[:2]], axis=0)
+            ext = bz.extend(xp, polys)
+            fq = _u.to_mont(xp, ntt_mod.ntt(xp, polys, ring), ring.q, ring.pinv, ring.r2)
+            fa = _u.to_mont(xp, ntt_mod.ntt(xp, ext, ra), ra.q, ra.pinv, ra.r2)
+            # tensor product: d0 = a0·b0, d1 = a0·b1 + a1·b0, d2 = a1·b1,
+            # batched as a (3, L, n) stack
+            def tensor(f, q, pinv):
+                d0 = _u.mont_mul(xp, f[0], f[2], q, pinv)
+                d1 = _u.addmod(xp, _u.mont_mul(xp, f[0], f[3], q, pinv),
+                               _u.mont_mul(xp, f[1], f[2], q, pinv), q)
+                d2 = _u.mont_mul(xp, f[1], f[3], q, pinv)
+                return xp.stack([d0, d1, d2])
+
+            dq = tensor(fq, ring.q, ring.pinv)
+            da = tensor(fa, ra.q, ra.pinv)
+            # leave Montgomery domain: two to_mont added two R, the product's
+            # mont_mul removed one → strip the remaining R.
+            dq = ntt_mod.intt(xp, _u.from_mont(xp, dq, ring.q, ring.pinv), ring)
+            da = ntt_mod.intt(xp, _u.from_mont(xp, da, ra.q, ra.pinv), ra)
+            return Ciphertext(data=bz.scale_and_back(xp, dq, da), level=level)
         if isinstance(b, Plaintext):
             bz = self.behz(level)
             ra = bz.ring_aux
             pe = bz.extend(xp, b.data)
             pq = _u.to_mont(xp, ntt_mod.ntt(xp, b.data, ring), ring.q, ring.pinv, ring.r2)
             pa = _u.to_mont(xp, ntt_mod.ntt(xp, pe, ra), ra.q, ra.pinv, ra.r2)
-            out = []
-            for k in range(2):
-                ext = bz.extend(xp, a.data[k])
-                dq = _u.mont_mul(xp, ntt_mod.ntt(xp, a.data[k], ring), pq, ring.q, ring.pinv)
-                da = _u.mont_mul(xp, ntt_mod.ntt(xp, ext, ra), pa, ra.q, ra.pinv)
-                dq = ntt_mod.intt(xp, dq, ring)
-                da = ntt_mod.intt(xp, da, ra)
-                out.append(bz.scale_and_back(xp, dq, da))
-            return Ciphertext(data=xp.stack(out), level=level)
+            ext = bz.extend(xp, a.data)
+            dq = _u.mont_mul(xp, ntt_mod.ntt(xp, a.data, ring), pq, ring.q, ring.pinv)
+            da = _u.mont_mul(xp, ntt_mod.ntt(xp, ext, ra), pa, ra.q, ra.pinv)
+            dq = ntt_mod.intt(xp, dq, ring)
+            da = ntt_mod.intt(xp, da, ra)
+            return Ciphertext(data=bz.scale_and_back(xp, dq, da), level=level)
         if isinstance(b, PlaintextRingt):
             lifted = xp.broadcast_to(b.data.astype(_U64), (level + 1, self.n))
             f = _u.to_mont(xp, ntt_mod.ntt(xp, lifted, ring), ring.q, ring.pinv, ring.r2)
@@ -312,3 +304,31 @@ class BfvEngine:
     def drop_level(self, xp, ct: Ciphertext, levels: int = 1) -> Ciphertext:
         return Ciphertext(data=ct.data[..., :ct.level + 1 - levels, :],
                           level=ct.level - levels, is_ntt=ct.is_ntt)
+
+    # ---- ciphertext form conversions (reference ops to_ntt/to_mf/to_mul,
+    # frontend/custom_task.py:1105-1136; used by the FPGA-format test matrix) --
+    def to_ntt(self, xp, ct: Ciphertext) -> Ciphertext:
+        assert not ct.is_ntt
+        ring = self.ring(ct.level)
+        return Ciphertext(data=ntt_mod.ntt(xp, ct.data, ring), level=ct.level,
+                          is_ntt=True, is_mform=ct.is_mform)
+
+    def to_inv_ntt(self, xp, ct: Ciphertext) -> Ciphertext:
+        assert ct.is_ntt
+        ring = self.ring(ct.level)
+        return Ciphertext(data=ntt_mod.intt(xp, ct.data, ring), level=ct.level,
+                          is_ntt=False, is_mform=ct.is_mform)
+
+    def to_mf(self, xp, ct: Ciphertext) -> Ciphertext:
+        assert not ct.is_mform
+        ring = self.ring(ct.level)
+        return Ciphertext(data=_u.to_mont(xp, ct.data, ring.q, ring.pinv, ring.r2),
+                          level=ct.level, is_ntt=ct.is_ntt, is_mform=True)
+
+    def to_mul(self, xp, ct: Ciphertext) -> Ciphertext:
+        """coeff → NTT + Montgomery ("mul" form) in one pass."""
+        assert not ct.is_ntt and not ct.is_mform
+        ring = self.ring(ct.level)
+        f = ntt_mod.ntt(xp, ct.data, ring)
+        return Ciphertext(data=_u.to_mont(xp, f, ring.q, ring.pinv, ring.r2),
+                          level=ct.level, is_ntt=True, is_mform=True)

@@ -12,7 +12,13 @@ e0 + e1·s ≈ x·s' (the key's target secret factor), by:
 
 This replaces the reference's Lattigo key-switch kernels used by relin /
 rotate executors (mega_ag_runners/cpu/mega_ag_executors_cpu.cpp:236,269).
-All steps are (..., L, n) elementwise/broadcast ops + NTTs: jit-friendly.
+
+Every stage is *vectorized over the digit axis*: the whole decomposition is
+one (β, α, n)-shaped shoup_mul + one (β, T, α, n) mont_mul with a log-depth
+modular reduction tree, and the gadget inner product is a single
+(β, 2, T, n) mont_mul reduced over β — O(log β·L) traced ops, full-width
+VPU work, instead of the O(β·L) small-op loops a direct translation of the
+reference would produce.
 """
 
 import functools
@@ -23,7 +29,9 @@ import numpy as np
 from ..core import ntt as ntt_mod
 from ..core import u64 as _u
 from ..core.modring import get_rns_ring
-from ..core.rns import BasisConv, _col, _mont
+from ..core.rns import BasisConv, _col, _mont, _shoup
+
+_U64 = np.uint64
 
 
 class RoundDivP:
@@ -62,49 +70,75 @@ class KeySwitcher:
 
     @functools.lru_cache(maxsize=None)
     def _level_pre(self, level: int):
+        """Stacked digit-decomposition constants for one level.
+
+        Shapes: qhat_inv/shoup (β, α, 1) — zero in padded lanes (shoup_mul
+        with a zero constant yields zero, so ragged last digits need no
+        masking; qhat_conv (β, T, α) with T = L + |P|.
+        """
         L = level + 1
+        alpha, beta = self.alpha, self.beta(level)
         q = self.q_moduli[:L]
         qp = q + self.p_moduli
+        T = len(qp)
         ring_qp = get_rns_ring(qp, self.n)
-        convs = []
-        for d in range(self.beta(level)):
-            grp = q[d * self.alpha:(d + 1) * self.alpha]
-            convs.append(BasisConv(grp, qp))
-        return ring_qp, convs, RoundDivP(q, self.p_moduli)
+
+        qhat_inv = np.zeros((beta, alpha, 1), dtype=_U64)
+        qhat_inv_shoup = np.zeros((beta, alpha, 1), dtype=_U64)
+        src_q = np.ones((beta, alpha, 1), dtype=_U64)
+        qhat_conv = np.zeros((beta, T, alpha), dtype=_U64)
+        for d in range(beta):
+            grp = q[d * alpha:(d + 1) * alpha]
+            Qd = math.prod(grp)
+            for j, qi in enumerate(grp):
+                h = Qd // qi
+                hinv = pow(h, -1, qi)
+                qhat_inv[d, j, 0] = hinv
+                qhat_inv_shoup[d, j, 0] = _shoup(hinv, qi)
+                src_q[d, j, 0] = qi
+                for t, dt in enumerate(qp):
+                    qhat_conv[d, t, j] = _mont(h % dt, dt)
+        return ring_qp, qhat_inv, qhat_inv_shoup, src_q, qhat_conv, \
+            RoundDivP(q, self.p_moduli)
 
     def decompose_modup_ntt(self, xp, x, level: int):
         """Digit-decompose + mod-up + NTT: x (..., L, n) coeff →
-        list of β arrays (..., L+|P|, n) in NTT domain. Exposed separately to
+        (..., β, T, n) in NTT domain over Q_ℓ∪P. Exposed separately to
         implement hoisted rotations (reference rns_sp_decomp,
         frontend/custom_task.py:1360)."""
-        ring_qp, convs, _ = self._level_pre(level)
-        out = []
-        for d, conv in enumerate(convs):
-            grp = x[..., d * self.alpha:(d + 1) * self.alpha + 0, :]
-            grp = grp[..., :len(conv.src), :]
-            xd = conv(xp, grp)
-            out.append(ntt_mod.ntt(xp, xd, ring_qp))
-        return out
+        ring_qp, qhat_inv, qhat_inv_shoup, src_q, qhat_conv, _ = self._level_pre(level)
+        L = level + 1
+        alpha, beta = self.alpha, self.beta(level)
+        pad = beta * alpha - L
+        if pad:
+            widths = [(0, 0)] * (x.ndim - 2) + [(0, pad), (0, 0)]
+            x = xp.pad(x, widths)
+        xg = x.reshape(*x.shape[:-2], beta, alpha, self.n)
+        y = _u.shoup_mul(xp, xg, qhat_inv, qhat_inv_shoup, src_q)
+        # grouped FastBConv: (..., β, 1, α, n) × (β, T, α, 1) → Σ_α
+        terms = _u.mont_mul(xp, y[..., :, None, :, :], qhat_conv[:, :, :, None],
+                            ring_qp.q[:, :, None], ring_qp.pinv[:, :, None])
+        xd = _u.modsum_tree(xp, terms, ring_qp.q[:, :, None], axis=-2)
+        return ntt_mod.ntt(xp, xd, ring_qp)
 
     def inner_product(self, xp, digits_ntt, ksk, level: int):
-        """Σ_d digit_d ⊙ key_d over Q_ℓ∪P (NTT domain) → pair of (..., L+|P|, n)."""
-        ring_qp, _, _ = self._level_pre(level)
+        """Σ_d digit_d ⊙ key_d over Q_ℓ∪P (NTT domain) → pair of (..., T, n).
+
+        digits_ntt: (..., β, T, n); keys in NTT+Montgomery form.
+        """
+        ring_qp, *_ = self._level_pre(level)
         L = level + 1
-        acc0 = acc1 = None
-        for d, xd in enumerate(digits_ntt):
-            for j, acc in ((0, acc0), (1, acc1)):
-                kd = xp.concatenate([ksk.key_q[d, j, :L], ksk.key_p[d, j]], axis=0)
-                term = _u.mont_mul(xp, xd, kd, ring_qp.q, ring_qp.pinv)
-                new = term if acc is None else _u.addmod(xp, acc, term, ring_qp.q)
-                if j == 0:
-                    acc0 = new
-                else:
-                    acc1 = new
-        return acc0, acc1
+        beta = self.beta(level)
+        kd = xp.concatenate([ksk.key_q[:beta, :, :L], ksk.key_p[:beta]], axis=2)
+        terms = _u.mont_mul(xp, digits_ntt[..., :, None, :, :], kd,
+                            ring_qp.q, ring_qp.pinv)
+        acc = _u.modsum_tree(xp, terms, ring_qp.q, axis=-4)
+        return acc[..., 0, :, :], acc[..., 1, :, :]
 
     def switch(self, xp, x, ksk, level: int, output_ntt: bool = False):
         """Full key switch of coeff-domain x (..., L, n) → (e0, e1) over Q_ℓ."""
-        ring_qp, convs, round_div = self._level_pre(level)
+        pre = self._level_pre(level)
+        ring_qp, round_div = pre[0], pre[5]
         L = level + 1
         digits = self.decompose_modup_ntt(xp, x, level)
         acc0, acc1 = self.inner_product(xp, digits, ksk, level)

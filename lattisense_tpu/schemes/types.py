@@ -10,8 +10,29 @@ and the three plaintext formats of the platform overview table
 - PlaintextMul   : NTT + Montgomery domain over Q_ℓ, cheapest ct·pt multiply.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, fields
 from typing import Any
+
+import jax
+
+
+def _register(cls, array_fields: tuple[str, ...]):
+    """Register a carrier dataclass as a JAX pytree: array fields are
+    children (traced), everything else static aux data — so Ciphertext /
+    key objects pass through jit/vmap/shard_map boundaries directly."""
+    static_fields = tuple(f.name for f in fields(cls) if f.name not in array_fields)
+
+    def flatten(obj):
+        return (tuple(getattr(obj, f) for f in array_fields),
+                tuple(getattr(obj, f) for f in static_fields))
+
+    def unflatten(aux, children):
+        kw = dict(zip(array_fields, children))
+        kw.update(zip(static_fields, aux))
+        return cls(**kw)
+
+    jax.tree_util.register_pytree_node(cls, flatten, unflatten)
+    return cls
 
 
 @dataclass
@@ -65,3 +86,9 @@ class PublicKey:
 @dataclass
 class GaloisKeys:
     keys: dict = field(default_factory=dict)   # galois_element -> KeySwitchKey
+
+
+for _cls, _arrays in ((Plaintext, ('data',)), (PlaintextRingt, ('data',)),
+                      (PlaintextMul, ('data',)), (Ciphertext, ('data',)),
+                      (KeySwitchKey, ('key_q', 'key_p')), (PublicKey, ('data',))):
+    _register(_cls, _arrays)

@@ -8,7 +8,19 @@ sharding is validated on host-platform virtual devices, as the driver's
 
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# Force CPU: the session environment may pre-set JAX_PLATFORMS to a real
+# TPU tunnel (and its bootstrap pins the config after importing jax, so the
+# env var alone is not enough — override via jax.config below).
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
+# Persistent compilation cache: FHE task graphs are deep elementwise
+# programs; caching compiles across test runs cuts suite time drastically.
+jax.config.update('jax_compilation_cache_dir', '/tmp/lattisense_jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)

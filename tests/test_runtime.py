@@ -1,0 +1,174 @@
+"""End-to-end: frontend Erg → mega_ag.json → FheTaskTpu (eager & jit) →
+decrypt, matching the plain-math oracles — the TPU analog of the reference's
+two-phase suite (SURVEY.md §4, test_cpu_bfv.{py,cpp})."""
+
+import numpy as np
+import pytest
+
+import lattisense_tpu  # noqa: F401
+from lattisense_tpu.core.modring import gen_ntt_primes
+from lattisense_tpu.frontend import custom_task as ct
+from lattisense_tpu.params import BfvParams, CkksParams
+from lattisense_tpu.runtime import BfvContext, CkksContext, FheTaskTpu
+
+from . import oracles
+
+N = 64
+T = 65537
+
+
+@pytest.fixture()
+def bfv_setup():
+    q = gen_ntt_primes(N, 50, 3)
+    p = gen_ntt_primes(N, 51, 1, exclude=tuple(q))
+    fe_param = ct.BfvParam.create_custom_param(n=N, q=q, p=p, t=T)
+    rt_params = BfvParams.create_custom(N, T, q, p)
+    context = BfvContext.create_random_context(rt_params, seed=11)
+    return fe_param, context
+
+
+@pytest.fixture()
+def ckks_setup():
+    big = gen_ntt_primes(N, 60, 2)
+    mids = gen_ntt_primes(N, 40, 3)
+    q = [big[0]] + mids
+    p = [big[1]]
+    scale = float(1 << 40)
+    fe_param = ct.CkksParam.create_custom_param(n=N, q=q, p=p, slots=N // 2, scale=scale)
+    rt_params = CkksParams.create_custom(N, q, p, slots=N // 2, scale=scale)
+    context = CkksContext.create_random_context(rt_params, seed=13)
+    return fe_param, context
+
+
+def gen_task(fe_param, build, tmp_path):
+    ct.set_fhe_param(fe_param)
+    ins, outs = build()
+    ct.process_custom_task(input_args=ins, output_args=outs,
+                           output_instruction_path=str(tmp_path))
+    return str(tmp_path)
+
+
+@pytest.mark.parametrize('mode', ['eager', 'jit'])
+def test_bfv_mult_relin_task(bfv_setup, tmp_path, mode):
+    fe_param, context = bfv_setup
+
+    def build():
+        x = ct.BfvCiphertextNode('x', 2)
+        y = ct.BfvCiphertextNode('y', 2)
+        z = ct.mult_relin(x, y, 'z')
+        return [ct.Argument('x', x), ct.Argument('y', y)], [ct.Argument('z', z)]
+
+    task = FheTaskTpu(gen_task(fe_param, build, tmp_path), mode=mode)
+    rng = np.random.default_rng(0)
+    ma = rng.integers(0, T, N, dtype=np.uint64)
+    mb = rng.integers(0, T, N, dtype=np.uint64)
+    ea = context.encrypt(context.encode(ma, 2))
+    eb = context.encrypt(context.encode(mb, 2))
+    outputs, dur_ns = task.run(context, {'x': ea, 'y': eb})
+    got = context.decrypt_decode(outputs['z'])
+    assert dur_ns > 0
+    np.testing.assert_array_equal(got, oracles.vec_mod_mul(ma, mb, T))
+
+
+@pytest.mark.parametrize('mode', ['eager', 'jit'])
+def test_bfv_rotation_and_mix_task(bfv_setup, tmp_path, mode):
+    fe_param, context = bfv_setup
+
+    def build():
+        x = ct.BfvCiphertextNode('x', 1)
+        y = ct.BfvPlaintextNode('y', 1)
+        s = ct.add(x, y, 's')
+        r = ct.rotate_cols(s, [3], 'r')[0]
+        w = ct.rotate_rows(s, 'w')
+        return [ct.Argument('x', x), ct.Argument('y', y)], \
+            [ct.Argument('r', r), ct.Argument('w', w)]
+
+    task_dir = gen_task(fe_param, build, tmp_path)
+    # keys required by the task signature
+    context.gen_rotation_keys_for_rotations([3], swap_rows=True, level=1)
+    task = FheTaskTpu(task_dir, mode=mode)
+    rng = np.random.default_rng(1)
+    ma = rng.integers(0, T, N, dtype=np.uint64)
+    mb = rng.integers(0, T, N, dtype=np.uint64)
+    ea = context.encrypt(context.encode(ma, 1))
+    pb = context.encode(mb, 1)
+    outputs, _ = task.run(context, {'x': ea, 'y': pb})
+    expected_sum = oracles.vec_mod_add(ma, mb, T)
+    np.testing.assert_array_equal(context.decrypt_decode(outputs['r']),
+                                  oracles.vec_rotate_col(expected_sum, 3))
+    np.testing.assert_array_equal(context.decrypt_decode(outputs['w']),
+                                  oracles.vec_rotate_row(expected_sum))
+
+
+@pytest.mark.parametrize('mode', ['eager', 'jit'])
+def test_bfv_cmp_sum_task(bfv_setup, tmp_path, mode):
+    fe_param, context = bfv_setup
+    k = 4
+
+    def build():
+        xs = [ct.BfvCiphertextNode(f'x{i}', 1) for i in range(k)]
+        ys = [ct.BfvPlaintextRingtNode(f'y{i}') for i in range(k)]
+        acc = ct.BfvCiphertextNode('acc', 1)
+        z = ct.ct_pt_mult_accumulate_add_ct_slice(xs + [acc], ys, 'z')
+        return [ct.Argument('x', xs), ct.Argument('y', ys), ct.Argument('acc', acc)], \
+            [ct.Argument('z', z)]
+
+    task = FheTaskTpu(gen_task(fe_param, build, tmp_path), mode=mode)
+    rng = np.random.default_rng(2)
+    ms = [rng.integers(0, T, N, dtype=np.uint64) for _ in range(k)]
+    ps = [rng.integers(0, T, N, dtype=np.uint64) for _ in range(k)]
+    macc = rng.integers(0, T, N, dtype=np.uint64)
+    xs = [context.encrypt(context.encode(m, 1)) for m in ms]
+    ys = [context.encode_ringt(p) for p in ps]
+    acc = context.encrypt(context.encode(macc, 1))
+    outputs, _ = task.run(context, {'x': xs, 'y': ys, 'acc': acc})
+    expected = macc.astype(np.int64) % T
+    for m, p in zip(ms, ps):
+        expected = oracles.vec_mod_add(expected, oracles.vec_mod_mul(m, p, T), T)
+    np.testing.assert_array_equal(context.decrypt_decode(outputs['z']), expected)
+
+
+@pytest.mark.parametrize('mode', ['eager', 'jit'])
+def test_ckks_pipeline_task(ckks_setup, tmp_path, mode):
+    fe_param, context = ckks_setup
+
+    def build():
+        x = ct.CkksCiphertextNode('x', 2)
+        y = ct.CkksCiphertextNode('y', 2)
+        z = ct.rescale(ct.mult_relin(x, y, 'z'), 'zr')
+        return [ct.Argument('x', x), ct.Argument('y', y)], [ct.Argument('zr', z)]
+
+    task = FheTaskTpu(gen_task(fe_param, build, tmp_path), mode=mode)
+    rng = np.random.default_rng(3)
+    va = rng.uniform(-1, 1, N // 2)
+    vb = rng.uniform(-1, 1, N // 2)
+    ea = context.encrypt(context.encode(va, 2))
+    eb = context.encrypt(context.encode(vb, 2))
+    outputs, _ = task.run(context, {'x': ea, 'y': eb})
+    out = outputs['zr']
+    out.scale = ea.scale * eb.scale / context.params.q[2]
+    got = context.decrypt_decode(out)
+    np.testing.assert_allclose(got.real, va * vb, atol=1e-4)
+
+
+def test_signature_error_messages(bfv_setup, tmp_path):
+    fe_param, context = bfv_setup
+
+    def build():
+        x = ct.BfvCiphertextNode('x', 2)
+        y = ct.BfvCiphertextNode('y', 2)
+        z = ct.mult_relin(x, y, 'z')
+        return [ct.Argument('x', x), ct.Argument('y', y)], [ct.Argument('z', z)]
+
+    task = FheTaskTpu(gen_task(fe_param, build, tmp_path), mode='eager')
+    rng = np.random.default_rng(4)
+    m = rng.integers(0, T, N, dtype=np.uint64)
+    good = context.encrypt(context.encode(m, 2))
+    wrong_level = context.encrypt(context.encode(m, 1))
+    with pytest.raises(RuntimeError,
+                       match='For argument x, expected level is 2, but input level is 1.'):
+        task.run(context, {'x': wrong_level, 'y': good})
+    pt = context.encode(m, 2)
+    with pytest.raises(RuntimeError,
+                       match='For argument x, expected type is ct, but input type is pt.'):
+        task.run(context, {'x': pt, 'y': good})
