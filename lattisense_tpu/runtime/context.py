@@ -92,6 +92,42 @@ class FheContext:
     def is_public(self) -> bool:
         return self.sk is None
 
+    # ---- serialization (reference: fhe_lib_v2.h:421-434) -----------------
+    def serialize(self) -> bytes:
+        """Context state without evaluation keys."""
+        from ..utils.serialize import serialize_context
+        return serialize_context(self, advanced=False)
+
+    def serialize_advanced(self) -> bytes:
+        """Context state including rlk/glk/btp switch keys."""
+        from ..utils.serialize import serialize_context
+        return serialize_context(self, advanced=True)
+
+    @staticmethod
+    def deserialize(blob: bytes):
+        from ..utils.serialize import deserialize_context
+        return deserialize_context(blob)
+
+    deserialize_advanced = deserialize
+
+    def serialize_ciphertext(self, ct, n_drop_bit_0: int = 0,
+                             n_drop_bit_1: int = 0) -> bytes:
+        from ..utils.serialize import serialize_ciphertext
+        return serialize_ciphertext(ct, self.params, n_drop_bit_0, n_drop_bit_1)
+
+    @staticmethod
+    def deserialize_ciphertext(blob: bytes):
+        from ..utils.serialize import deserialize_ciphertext
+        return deserialize_ciphertext(blob)
+
+    def encrypt_symmetric_compressed(self, pt, seed=None):
+        if self.sk is None:
+            raise RuntimeError('compressed encryption requires the secret key')
+        return self.engine.encrypt_symmetric_compressed(self.rng, self.sk, pt, seed)
+
+    def compressed_ciphertext_to_ciphertext(self, cct):
+        return self.engine.decompress_ciphertext(cct)
+
     # ---- encode / encrypt / decrypt -------------------------------------
     def encode(self, values, level=None, **kw):
         level = self.params.max_level if level is None else level

@@ -150,6 +150,31 @@ class BfvEngine:
                        pt.data, ring.q)
         return Ciphertext(data=np.stack([c0, ntt_mod.intt(np, a_ntt, ring)]), level=level)
 
+    def encrypt_symmetric_compressed(self, rng, sk, pt: Plaintext, seed: int | None = None):
+        """Seed-expanded symmetric encryption: c1 = PRG(seed) is not stored
+        (reference: encrypt_symmetric_compressed, fhe_lib_v2.h:561)."""
+        from .keys import sample_gaussian, lift_signed
+        from ..utils.serialize import CompressedCiphertext, expand_uniform
+        level = pt.level
+        ring = self.ring(level)
+        q_mods = self.q[:level + 1]
+        seed = int(rng.integers(0, 1 << 62)) if seed is None else seed
+        a_ntt = expand_uniform(seed, q_mods, self.n)
+        s_ntt = sk.ntt_form(tuple(q_mods), self.n)
+        as_ = ntt_mod.intt(np, _u.mulmod(np, a_ntt, s_ntt, ring.q, ring.pinv, ring.r2), ring)
+        e = lift_signed(sample_gaussian(rng, self.n), q_mods)
+        c0 = _u.addmod(np, _u.negmod(np, _u.addmod(np, as_, e, ring.q), ring.q),
+                       pt.data, ring.q)
+        return CompressedCiphertext(c0=c0, seed=seed, level=level, is_ntt=False)
+
+    def decompress_ciphertext(self, cct) -> Ciphertext:
+        """(c0, seed) → full ciphertext (compressed_ciphertext_to_ciphertext)."""
+        from ..utils.serialize import expand_uniform
+        ring = self.ring(cct.level)
+        a_ntt = expand_uniform(cct.seed, self.q[:cct.level + 1], self.n)
+        return Ciphertext(data=np.stack([cct.c0, ntt_mod.intt(np, a_ntt, ring)]),
+                          level=cct.level)
+
     def decrypt(self, sk, ct: Ciphertext) -> np.ndarray:
         """→ plaintext poly mod t (n,) u64 (exact CRT + rounding)."""
         level = ct.level

@@ -97,6 +97,30 @@ class CkksEngine:
         return Ciphertext(data=np.stack([c0, a_ntt]), level=level, is_ntt=True,
                           scale=pt.scale)
 
+    def encrypt_symmetric_compressed(self, rng, sk, pt: Plaintext, seed: int | None = None):
+        """Seed-expanded symmetric encryption (reference fhe_lib_v2.h:1026);
+        c1 lives in the NTT domain like every CKKS ciphertext component."""
+        from .keys import sample_gaussian, lift_signed
+        from ..utils.serialize import CompressedCiphertext, expand_uniform
+        level = pt.level
+        ring = self.ring(level)
+        q_mods = self.q[:level + 1]
+        seed = int(rng.integers(0, 1 << 62)) if seed is None else seed
+        a_ntt = expand_uniform(seed, q_mods, self.n)
+        s_ntt = sk.ntt_form(tuple(q_mods), self.n)
+        as_ = _u.mulmod(np, a_ntt, s_ntt, ring.q, ring.pinv, ring.r2)
+        e_ntt = ntt_mod.ntt(np, lift_signed(sample_gaussian(rng, self.n), q_mods), ring)
+        c0 = _u.addmod(np, _u.negmod(np, _u.addmod(np, as_, e_ntt, ring.q), ring.q),
+                       pt.data, ring.q)
+        return CompressedCiphertext(c0=c0, seed=seed, level=level, is_ntt=True,
+                                    scale=pt.scale)
+
+    def decompress_ciphertext(self, cct) -> Ciphertext:
+        from ..utils.serialize import expand_uniform
+        a_ntt = expand_uniform(cct.seed, self.q[:cct.level + 1], self.n)
+        return Ciphertext(data=np.stack([cct.c0, a_ntt]), level=cct.level,
+                          is_ntt=True, scale=cct.scale)
+
     def decrypt(self, sk, ct: Ciphertext) -> np.ndarray:
         """→ centered big-int coefficient array (n,) dtype=object."""
         level = ct.level
