@@ -43,16 +43,23 @@ def main():
     keys = jax.device_put(key_tree(ctx))
 
     fn = make_batched_step(eng, bfv_mult_relin, level, n_inputs=2)
-    out = jax.block_until_ready(fn(a, b, keys))          # compile + warmup
-    out = jax.block_until_ready(fn(a, b, keys))
+    np.asarray(fn(a, b, keys))                           # compile + warmup
 
-    iters = 16
-    t0 = time.perf_counter_ns()
-    for _ in range(iters):
-        out = fn(a, b, keys)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter_ns() - t0) / 1e9
-    device_ops_s = batch * iters / dt
+    def run_chained(iters):
+        """Chained dependencies + a real output fetch: on remote-tunnel
+        backends block_until_ready alone does not await execution."""
+        x = a
+        t0 = time.perf_counter_ns()
+        for _ in range(iters):
+            x = fn(x, b, keys)
+        np.asarray(x[0, 0, 0, :4])
+        return (time.perf_counter_ns() - t0) / 1e9
+
+    run_chained(2)                                       # warm path
+    k = 8
+    t_k, t_2k = run_chained(k), run_chained(2 * k)
+    per_call = (t_2k - t_k) / k                          # slope: strips fixed overhead
+    device_ops_s = batch / per_call
 
     # single-thread NumPy golden engine on the same op (host baseline proxy)
     a0 = cts[0]

@@ -95,6 +95,7 @@ class FheTaskTpu:
         self.outputs = list(self.mag['outputs'])
         self._build_plan()
         self._jitted = None
+        self._out_scales: dict = {}
 
     # ------------------------------------------------------------------
     # Plan construction (load-time executor binding, reference parity:
@@ -272,11 +273,13 @@ class FheTaskTpu:
             flat += check_sig.flatten(input_values[row['id']])
         return flat
 
-    def _trace(self, xp, input_arrays, key_tree):
+    def _trace(self, xp, input_arrays, key_tree, scales=None, progress=None):
         env = {}
         data_nodes = self._data_input_nodes()
-        scale = getattr(self.params, 'scale', 1.0)
-        for node, arr in zip(data_nodes, input_arrays):
+        default = getattr(self.params, 'scale', 1.0)
+        if scales is None:
+            scales = [default] * len(data_nodes)
+        for node, arr, scale in zip(data_nodes, input_arrays, scales):
             env[node.index] = _wrap_input(node, arr, scale)
         keys = {'rlk': None, 'glk': {}, 'swk': {}}
         for i in self._key_signature_order():
@@ -293,8 +296,14 @@ class FheTaskTpu:
                 kq, kp = key_tree['swk'][node.id]
                 keys['swk'][node.id] = KeySwitchKey(
                     key_q=kq, key_p=kp, level=node.level, sp_level=node.sp_level)
-        for step in self.plan:
+        for i, step in enumerate(self.plan):
             step(env, xp, keys)
+            if progress is not None:
+                progress(i + 1)
+        # record statically-propagated output scales for this input-scale
+        # combination (CKKS: exact scale algebra happens at trace time)
+        self._out_scales[tuple(scales)] = [
+            getattr(env[o], 'scale', 1.0) for o in self.outputs]
         return [env[o].data for o in self.outputs]
 
     def _context_key_tree(self, context):
@@ -318,41 +327,73 @@ class FheTaskTpu:
                                     if r['phase'] == 'out'])
         check_sig.check_parameter(context, self.mag['parameter'])
 
-    def run(self, context, input_values: dict):
+    def run(self, context, input_values: dict, progress_cb=None):
         """Validate, execute, return ({output_id: value}, duration_ns).
 
         The ns return mirrors FheTaskCpu::run (cxx_fhe_task_cpu.cpp:104) so
-        benchmark harnesses compute ops/s identically.
+        benchmark harnesses compute ops/s identically. ``progress_cb``
+        mirrors the reference's throttled ProgressCallback(completed, total)
+        (cpu_task_utils.h:414): per-op granularity in eager mode; the jit
+        path executes as one fused XLA program, so it reports 0 → total.
         """
         self.check(context, input_values)
         flat_args = self._flatten_args(input_values)
         key_tree = self._context_key_tree(context)
         arrays = [np.asarray(v.data) for v in flat_args]
+        default = getattr(self.params, 'scale', 1.0)
+        scales = tuple(getattr(v, 'scale', default) for v in flat_args)
+
+        mem_monitor = None
+        if os.environ.get('LATTISENSE_DEV', '') not in ('', '0'):
+            from ..utils.observability import MemoryMonitor
+            mem_monitor = MemoryMonitor(100, with_device=(self.mode == 'jit'))
+            mem_monitor.start(MemoryMonitor.next_csv_path('mem_usage_tpu'))
 
         start = time.perf_counter_ns()
         if self.mode == 'eager':
-            out_arrays = self._trace(np, arrays, key_tree)
+            if progress_cb is not None:
+                total = len(self.plan)
+                last = [0.0]
+
+                def wrapped_cb(done):
+                    now = time.monotonic()
+                    if done >= total or now - last[0] >= 0.1:   # 100 ms throttle
+                        last[0] = now
+                        progress_cb(done, total)
+                out_arrays = self._trace(np, arrays, key_tree, scales,
+                                         progress=wrapped_cb)
+            else:
+                out_arrays = self._trace(np, arrays, key_tree, scales)
         else:
             import jax
             import jax.numpy as jnp
+            # scale metadata is static in the traced program: one compiled
+            # executable per distinct input-scale combination
             if self._jitted is None:
+                self._jitted = {}
+            if scales not in self._jitted:
                 donate = (0,) if self.donate_inputs else ()
-                self._jitted = jax.jit(
-                    lambda ins, kt: self._trace(jnp, ins, kt),
+                self._jitted[scales] = jax.jit(
+                    lambda ins, kt, s=scales: self._trace(jnp, ins, kt, s),
                     donate_argnums=donate)
-            out_arrays = self._jitted(arrays, key_tree)
+            if progress_cb is not None:
+                progress_cb(0, len(self.plan))
+            out_arrays = self._jitted[scales](arrays, key_tree)
             out_arrays = [np.asarray(a) for a in out_arrays]   # block + fetch
+            if progress_cb is not None:
+                progress_cb(len(self.plan), len(self.plan))
         duration_ns = time.perf_counter_ns() - start
+        if mem_monitor is not None:
+            mem_monitor.stop()
 
-        # re-wrap outputs per graph metadata, grouped by signature rows
-        scale = getattr(self.params, 'scale', 1.0)
+        # re-wrap outputs per graph metadata, grouped by signature rows;
+        # scales come from the trace-time propagation for this combination
+        out_scales = self._out_scales.get(
+            scales, [getattr(self.params, 'scale', 1.0)] * len(self.outputs))
         out_nodes = [self.data[i] for i in self.outputs]
         flat_out = []
-        for node, arr in zip(out_nodes, out_arrays):
-            v = _wrap_input(node, arr, scale)
-            if isinstance(v, Ciphertext):
-                v.scale = self._static_output_scale(node)
-            flat_out.append(v)
+        for node, arr, sc in zip(out_nodes, out_arrays, out_scales):
+            flat_out.append(_wrap_input(node, arr, sc))
         outputs = {}
         pos = 0
         for row in (r for r in self.signature['online'] if r['phase'] == 'out'):
@@ -364,13 +405,6 @@ class FheTaskTpu:
             outputs[row['id']] = vals[0] if row['size'] == [1] else _reshape(vals, row['size'])
         return outputs, duration_ns
 
-    def _static_output_scale(self, node: _Node) -> float:
-        """Output scale from static metadata (CKKS): replay scale algebra at
-        load time is overkill — the default-scale invariant of the frontend
-        (every output is at a rescaled default) matches the reference's
-        context-default convention."""
-        return getattr(self.params, 'scale', 1.0)
-
     def compile(self, context, input_values: dict):
         """Ahead-of-time compile (jit lower+compile) without executing."""
         if self.mode != 'jit':
@@ -380,9 +414,14 @@ class FheTaskTpu:
         flat_args = self._flatten_args(input_values)
         key_tree = self._context_key_tree(context)
         arrays = [np.asarray(v.data) for v in flat_args]
+        default = getattr(self.params, 'scale', 1.0)
+        scales = tuple(getattr(v, 'scale', default) for v in flat_args)
         if self._jitted is None:
-            self._jitted = jax.jit(lambda ins, kt: self._trace(jnp, ins, kt))
-        self._jitted.lower(arrays, key_tree).compile()
+            self._jitted = {}
+        if scales not in self._jitted:
+            self._jitted[scales] = jax.jit(
+                lambda ins, kt, s=scales: self._trace(jnp, ins, kt, s))
+        self._jitted[scales].lower(arrays, key_tree).compile()
 
 
 def _reshape(flat: list, shape: list):

@@ -145,9 +145,7 @@ def test_ckks_pipeline_task(ckks_setup, tmp_path, mode):
     ea = context.encrypt(context.encode(va, 2))
     eb = context.encrypt(context.encode(vb, 2))
     outputs, _ = task.run(context, {'x': ea, 'y': eb})
-    out = outputs['zr']
-    out.scale = ea.scale * eb.scale / context.params.q[2]
-    got = context.decrypt_decode(out)
+    got = context.decrypt_decode(outputs['zr'])
     np.testing.assert_allclose(got.real, va * vb, atol=1e-4)
 
 

@@ -1,0 +1,71 @@
+"""Precision stats + observability units."""
+
+import numpy as np
+
+import lattisense_tpu  # noqa: F401
+from lattisense_tpu.utils.observability import MemoryMonitor, TaskProgressBar
+from lattisense_tpu.utils.precision import get_precision_stats
+
+
+def test_precision_stats_basic():
+    rng = np.random.default_rng(0)
+    want = rng.uniform(-1, 1, 256) + 1j * rng.uniform(-1, 1, 256)
+    test = want + (rng.uniform(-1, 1, 256) + 1j * rng.uniform(-1, 1, 256)) * 2**-30
+    p = get_precision_stats(want, test)
+    assert 28 < p.mean_precision.l2 < 34
+    assert p.min_precision.l2 <= p.mean_precision.l2 <= p.max_precision.l2
+    assert p.max_delta.l2 >= p.median_delta.l2 >= p.min_delta.l2
+    assert 2**-34 < p.std_freq < 2**-28
+    assert len(p.l2_dist) == p.cdf_resol
+    s = str(p)
+    assert 'AVG Prec' in s and 'Err STD Slots' in s
+
+
+def test_precision_stats_exact_match():
+    v = np.ones(16)
+    p = get_precision_stats(v, v)
+    assert p.mean_precision.real >= 53   # clamped at 1e-16 floor
+
+
+def test_progress_bar_and_memory_monitor(tmp_path, capsys):
+    bar = TaskProgressBar(total=10, interval_ms=0)
+    for i in range(11):
+        bar(i, 10)
+    err = capsys.readouterr().err
+    assert '10/10' in err and '100.0%' in err
+
+    mon = MemoryMonitor(interval_ms=10)
+    csv = str(tmp_path / 'mem.csv')
+    mon.start(csv)
+    import time
+    time.sleep(0.08)
+    mon.stop()
+    lines = open(csv).read().strip().splitlines()
+    assert lines[0].startswith('time_s,vmrss_kb')
+    assert len(lines) >= 2
+    assert int(lines[1].split(',')[1]) > 0   # nonzero RSS
+
+
+def test_task_progress_callback(tmp_path):
+    """Eager-mode per-op progress (reference ProgressCallback shape)."""
+    from lattisense_tpu.core.modring import gen_ntt_primes
+    from lattisense_tpu.frontend import custom_task as ct
+    from lattisense_tpu.params import BfvParams
+    from lattisense_tpu.runtime import BfvContext, FheTaskTpu
+
+    n, t = 64, 65537
+    q = gen_ntt_primes(n, 50, 3)
+    p = gen_ntt_primes(n, 51, 1, exclude=tuple(q))
+    ct.set_fhe_param(ct.BfvParam.create_custom_param(n=n, q=q, p=p, t=t))
+    x = ct.BfvCiphertextNode('x', 1)
+    y = ct.add(ct.add(x, x), ct.add(x, x), 'y')
+    ct.process_custom_task([ct.Argument('x', x)], [ct.Argument('y', y)],
+                           output_instruction_path=str(tmp_path))
+    context = BfvContext.create_random_context(
+        BfvParams.create_custom(n, t, q, p), seed=1)
+    task = FheTaskTpu(str(tmp_path), mode='eager')
+    calls = []
+    m = np.arange(n, dtype=np.uint64)
+    task.run(context, {'x': context.encrypt(context.encode(m, 1))},
+             progress_cb=lambda done, total: calls.append((done, total)))
+    assert calls[-1] == (len(task.plan), len(task.plan))
