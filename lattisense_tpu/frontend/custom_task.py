@@ -875,20 +875,25 @@ def seal_rotate_cols(x, steps, output_id: Optional[str] = None):
     return _rotate_chain(x, steps, output_id, Lib.SEAL, SEAL_GALOIS_GEN)
 
 
-def _advanced_rotate(x, steps, output_id, lib: Lib, galois_gen: int, out_ct_type='ct'):
+def _advanced_rotate(x, steps, output_id, lib: Lib, galois_gen: int, out_ct_type='ct',
+                     rot_type='hybrid'):
     if g_param is None:
         raise RuntimeError('Please call set_fhe_param() before using rotation operations.')
+    assert rot_type in ['hybrid', 'hoisted']
     if x.type != DataType.Ciphertext:
         raise ValueError(f'Unsupported input type "{x.type.value}" for rotate.')
     if isinstance(steps, int):
         steps = [steps]
+    # hoisted: one shared rns_sp_decomp node feeds every rotation
+    # (reference keeps this switch internal, custom_task.py:1516)
+    y = rns_sp_decomp(x, f'decomped_{x.id}') if rot_type == 'hoisted' else x
     output = []
     for step in steps:
         gal = get_galois_element_for_column_rotation_by(step, g_param.n, galois_gen)
         glk = f'glk_ntt_col_{gal}'
         _register_glk(glk, x.level)
         op = RotateColUnitNode(step, lib=lib)
-        g_dag.add_edges_from([(x, op), (g_swk_node_dict[glk], op)])
+        g_dag.add_edges_from([(y, op), (g_swk_node_dict[glk], op)])
         z = _new_ct_like(x, f'{output_id}_step{step}' if output_id is not None else None, x.level)
         if isinstance(x, BfvCiphertextNode) and lib == Lib.Lattigo:
             z.is_ntt = 'ntt' in out_ct_type
@@ -900,10 +905,13 @@ def _advanced_rotate(x, steps, output_id, lib: Lib, galois_gen: int, out_ct_type
     return output
 
 
-def advanced_rotate_cols(x, steps, output_id: Optional[str] = None, out_ct_type: str = 'ct'):
-    """Direct-key rotation (one Galois key per step)."""
+def advanced_rotate_cols(x, steps, output_id: Optional[str] = None, out_ct_type: str = 'ct',
+                         rot_type: str = 'hybrid'):
+    """Direct-key rotation (one Galois key per step); ``rot_type='hoisted'``
+    shares one rns_sp_decomp across all steps."""
     assert out_ct_type in ['ct', 'ct-ntt', 'ct-ntt-mf']
-    return _advanced_rotate(x, steps, output_id, Lib.Lattigo, GALOIS_GEN, out_ct_type)
+    return _advanced_rotate(x, steps, output_id, Lib.Lattigo, GALOIS_GEN, out_ct_type,
+                            rot_type)
 
 
 def seal_advanced_rotate_cols(x, steps, output_id: Optional[str] = None):

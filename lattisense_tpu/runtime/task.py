@@ -39,7 +39,8 @@ _KEY_TYPES = ('rlk', 'glk', 'swk')
 
 class _Node:
     __slots__ = ('index', 'id', 'type', 'level', 'degree', 'is_ntt', 'is_mform',
-                 'sp_level', 'galois_element', 'is_custom', 'attributes')
+                 'sp_level', 'galois_element', 'is_custom', 'attributes',
+                 'sp_decomped')
 
     def __init__(self, index: int, d: dict):
         self.index = index
@@ -53,6 +54,7 @@ class _Node:
         self.galois_element = d.get('galois_element')
         self.is_custom = d.get('is_custom', False)
         self.attributes = d.get('attributes', {})
+        self.sp_decomped = d.get('poly1_rns_sp_decomped', False)
 
 
 def _wrap_input(node: _Node, array, scale: float):
@@ -204,6 +206,15 @@ class FheTaskTpu:
 
         if op in ('rotate_col', 'rotate_row'):
             elt = keynodes[0].galois_element
+            if cts[0].sp_decomped:
+                out_node = self.data[out_idx]
+                out_ntt, out_mform = out_node.is_ntt, out_node.is_mform
+
+                def run(env, xp, keys):
+                    env[out_idx] = eng.apply_galois_decomposed(
+                        xp, env[cts[0].index], elt, keys['glk'][elt],
+                        out_ntt=out_ntt, out_mform=out_mform)
+                return run
 
             def run(env, xp, keys):
                 env[out_idx] = eng.apply_galois(xp, ctv(env), elt, keys['glk'][elt])

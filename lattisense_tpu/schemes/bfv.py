@@ -314,6 +314,36 @@ class BfvEngine:
         e0, e1 = self.switcher.switch(xp, c1, glk, level)
         return Ciphertext(data=xp.stack([_u.addmod(xp, c0, e0, ring.q), e1]), level=level)
 
+    # ---- hoisted rotations (reference rns_sp_decomp + advanced rotate on
+    # decomposed input, frontend/custom_task.py:1360, SURVEY.md §5) ---------
+    def rns_sp_decomp(self, xp, ct: Ciphertext):
+        """Pay the digit-decomposition + mod-up + NTT of c1 once; the result
+        is shared by every subsequent rotation of this ciphertext."""
+        from .types import DecomposedCiphertext
+        assert not ct.is_ntt
+        digits = self.switcher.decompose_modup_ntt(xp, ct.data[1], ct.level)
+        return DecomposedCiphertext(c0=ct.data[0], digits=digits, level=ct.level,
+                                    is_ntt=False, scale=ct.scale)
+
+    def apply_galois_decomposed(self, xp, dct, galois_elt: int, glk,
+                                out_ntt: bool = False, out_mform: bool = False):
+        """Hoisted rotation: σ_g commutes with the RNS digit decomposition,
+        so it permutes the precomputed NTT-domain digits directly."""
+        from .galois import apply_automorphism_ntt
+        level = dct.level
+        ring = self.ring(level)
+        c0 = apply_automorphism_coeff(xp, dct.c0, ring.q, self.n, galois_elt)
+        digits = apply_automorphism_ntt(xp, dct.digits, self.n, galois_elt)
+        e0, e1 = self.switcher.switch_from_digits(xp, digits, glk, level,
+                                                  output_ntt=out_ntt)
+        if out_ntt:
+            c0 = ntt_mod.ntt(xp, c0, ring)
+        data = xp.stack([_u.addmod(xp, c0, e0, ring.q), e1])
+        if out_mform:
+            data = _u.to_mont(xp, data, ring.q, ring.pinv, ring.r2)
+        return Ciphertext(data=data, level=level, is_ntt=out_ntt,
+                          is_mform=out_mform, scale=dct.scale)
+
     def rotate_cols(self, xp, ct: Ciphertext, step: int, glk) -> Ciphertext:
         return self.apply_galois(xp, ct, galois_elt_col(step, self.n), glk)
 

@@ -266,6 +266,26 @@ class CkksEngine:
         return Ciphertext(data=xp.stack([_u.addmod(xp, c0, e0, ring.q), e1]),
                           level=level, is_ntt=True, scale=ct.scale)
 
+    def rns_sp_decomp(self, xp, ct: Ciphertext):
+        """Hoisted-rotation precompute (c1 decomposition; see bfv.py)."""
+        from .types import DecomposedCiphertext
+        c1 = ntt_mod.intt(xp, ct.data[1], self.ring(ct.level))
+        digits = self.switcher.decompose_modup_ntt(xp, c1, ct.level)
+        return DecomposedCiphertext(c0=ct.data[0], digits=digits, level=ct.level,
+                                    is_ntt=True, scale=ct.scale)
+
+    def apply_galois_decomposed(self, xp, dct, galois_elt: int, glk,
+                                **_ignored) -> Ciphertext:
+        from .galois import apply_automorphism_ntt
+        level = dct.level
+        ring = self.ring(level)
+        c0 = apply_automorphism_ntt(xp, dct.c0, self.n, galois_elt)
+        digits = apply_automorphism_ntt(xp, dct.digits, self.n, galois_elt)
+        e0, e1 = self.switcher.switch_from_digits(xp, digits, glk, level,
+                                                  output_ntt=True)
+        return Ciphertext(data=xp.stack([_u.addmod(xp, c0, e0, ring.q), e1]),
+                          level=level, is_ntt=True, scale=dct.scale)
+
     def rotate(self, xp, ct: Ciphertext, step: int, glk) -> Ciphertext:
         return self.apply_galois(xp, ct, galois_elt_col(step, self.n), glk)
 

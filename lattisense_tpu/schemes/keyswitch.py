@@ -135,12 +135,13 @@ class KeySwitcher:
         acc = _u.modsum_tree(xp, terms, ring_qp.q, axis=-4)
         return acc[..., 0, :, :], acc[..., 1, :, :]
 
-    def switch(self, xp, x, ksk, level: int, output_ntt: bool = False):
-        """Full key switch of coeff-domain x (..., L, n) → (e0, e1) over Q_ℓ."""
+    def switch_from_digits(self, xp, digits, ksk, level: int,
+                           output_ntt: bool = False):
+        """Gadget product + mod-down from precomputed NTT-domain digits
+        (..., β, T, n) — the hoisted-rotation entry point."""
         pre = self._level_pre(level)
         ring_qp, round_div = pre[0], pre[5]
         L = level + 1
-        digits = self.decompose_modup_ntt(xp, x, level)
         acc0, acc1 = self.inner_product(xp, digits, ksk, level)
         ring_q = get_rns_ring(self.q_moduli[:L], self.n)
         outs = []
@@ -151,3 +152,8 @@ class KeySwitcher:
                 e = ntt_mod.ntt(xp, e, ring_q)
             outs.append(e)
         return outs[0], outs[1]
+
+    def switch(self, xp, x, ksk, level: int, output_ntt: bool = False):
+        """Full key switch of coeff-domain x (..., L, n) → (e0, e1) over Q_ℓ."""
+        digits = self.decompose_modup_ntt(xp, x, level)
+        return self.switch_from_digits(xp, digits, ksk, level, output_ntt)

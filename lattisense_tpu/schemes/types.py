@@ -70,6 +70,22 @@ class Ciphertext:
 
 
 @dataclass
+class DecomposedCiphertext:
+    """Ciphertext with c1 pre-decomposed + mod-upped + NTT'd for hoisted
+    rotations (reference op rns_sp_decomp, frontend/custom_task.py:1360):
+    the expensive half of every key switch is paid once and shared by all
+    subsequent rotations of this ciphertext."""
+    c0: Any                   # (L, n) u64 — same domain as the source ct
+    digits: Any               # (β, L+|P|, n) u64, NTT domain
+    level: int
+    is_ntt: bool = False      # domain of c0
+    is_mform: bool = False
+    scale: float = 1.0
+
+    degree = 1
+
+
+@dataclass
 class KeySwitchKey:
     """Hybrid key-switching key: β digits over Q_full ∪ P, NTT+Montgomery."""
     key_q: Any                # (β, 2, Lq_full, n)
@@ -90,5 +106,6 @@ class GaloisKeys:
 
 for _cls, _arrays in ((Plaintext, ('data',)), (PlaintextRingt, ('data',)),
                       (PlaintextMul, ('data',)), (Ciphertext, ('data',)),
+                      (DecomposedCiphertext, ('c0', 'digits')),
                       (KeySwitchKey, ('key_q', 'key_p')), (PublicKey, ('data',))):
     _register(_cls, _arrays)

@@ -170,3 +170,32 @@ def test_signature_error_messages(bfv_setup, tmp_path):
     with pytest.raises(RuntimeError,
                        match='For argument x, expected type is ct, but input type is pt.'):
         task.run(context, {'x': pt, 'y': good})
+
+
+@pytest.mark.parametrize('mode', ['eager', 'jit'])
+def test_hoisted_rotations_task(bfv_setup, tmp_path, mode):
+    """rns_sp_decomp + advanced rotations must match direct rotations
+    (hoisting shares one decomposition across all steps)."""
+    fe_param, context = bfv_setup
+    steps = [1, 2, 5]
+
+    def build():
+        x = ct.BfvCiphertextNode('x', 1)
+        outs = ct.advanced_rotate_cols(x, steps, 'r', rot_type='hoisted')
+        return [ct.Argument('x', x)], [ct.Argument(f'r{s}', o)
+                                       for s, o in zip(steps, outs)]
+
+    task_dir = gen_task(fe_param, build, tmp_path)
+    from lattisense_tpu.schemes.galois import galois_elt_col
+    context.gen_galois_keys_for_elements(
+        [galois_elt_col(s, N) for s in steps])
+    task = FheTaskTpu(task_dir, mode=mode)
+    rng = np.random.default_rng(7)
+    m = rng.integers(0, T, N, dtype=np.uint64)
+    ea = context.encrypt(context.encode(m, 1))
+    outputs, _ = task.run(context, {'x': ea})
+    for s in steps:
+        # hoisted ≠ bit-identical to the direct path (the FastBConv overflow
+        # multiple differs under negation) but BFV decryption is exact
+        np.testing.assert_array_equal(context.decrypt_decode(outputs[f'r{s}']),
+                                      oracles.vec_rotate_col(m, s))
