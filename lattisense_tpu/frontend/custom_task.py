@@ -315,6 +315,40 @@ class CkksBtpParam(CkksParam):
         return inst
 
     @classmethod
+    def create_custom_param(cls, n: int, q: List[int], p: List[int],
+                            slots: int = 0, scale: float = 0.0,
+                            cts_depth: int = 3, stc_depth: int = 3,
+                            eval_mod_k: int = 16, sine_deg: int = 30,
+                            double_angle: int = 3,
+                            btp_output_level: int = -1) -> 'CkksBtpParam':
+        """Bootstrap parameters over a caller-supplied chain (toy/test
+        configs beyond the canonical table profiles)."""
+        inst = cls(n)
+        inst.q = [int(x) for x in q]
+        inst.p = [int(x) for x in p]
+        inst.max_level = len(inst.q) - 1
+        if slots:
+            inst.set_slots(slots)
+        inst.scale = float(scale) if scale else float(q[-1])
+        inst.cts_params = EncodingMatrixParams(
+            linear_transform_type=LinearTransformType.CoeffsToSlots,
+            repack_imag_2_real=True, level_start=inst.max_level,
+            bsgs_ratio=2.0, bit_reversed=False,
+            scaling_factor=[[1]] * cts_depth)
+        inst.stc_params = EncodingMatrixParams(
+            linear_transform_type=LinearTransformType.SlotsToCoeffs,
+            repack_imag_2_real=True, level_start=stc_depth,
+            bsgs_ratio=2.0, bit_reversed=False,
+            scaling_factor=[[1]] * stc_depth)
+        inst.eval_mod_params = EvalModParams(
+            q=inst.q[0], level_start=inst.max_level - cts_depth - 1,
+            sine_type=SineType.Cos1, message_ratio=inst.q[0] / inst.scale,
+            k=eval_mod_k, sine_deg=sine_deg, double_angle=double_angle,
+            arcsine_deg=0, scaling_factor=float(q[1]))
+        inst.btp_output_level = btp_output_level
+        return inst
+
+    @classmethod
     def create_toy_param(cls) -> 'CkksBtpParam':
         return cls._build(8192)
 

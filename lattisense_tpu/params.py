@@ -119,11 +119,16 @@ class CkksParams(FheParams):
 
 def params_from_task_json(parameter: dict) -> FheParams:
     """Rebuild runtime params from a mega_ag.json 'parameter' blob
-    (schema: frontend/custom_task.py:2307-2331)."""
+    (schema: frontend/custom_task.py:2307-2331). Bootstrap tasks carry
+    btp_* fields; they are attached as ``params.btp`` so the runtime can
+    validate/construct a matching bootstrapper config."""
     if 't' in parameter:
         return BfvParams(parameter['n'], parameter['t'], parameter['q'], parameter['p'])
-    return CkksParams(parameter['n'], parameter['q'], parameter['p'],
-                      parameter.get('slots'), parameter.get('scale', 0.0))
+    p = CkksParams(parameter['n'], parameter['q'], parameter['p'],
+                   parameter.get('slots'), parameter.get('scale', 0.0))
+    if 'btp_cts_depth' in parameter:
+        p.btp = {k: v for k, v in parameter.items() if k.startswith('btp_')}
+    return p
 
 
 @functools.lru_cache(maxsize=None)

@@ -1,8 +1,8 @@
 """Runtime: user contexts + compiled-task execution (reference L2-L4 bands)."""
 
-from .context import (BfvContext, CkksContext, FheContext,
+from .context import (BfvContext, CkksBtpContext, CkksContext, FheContext,
                       create_context_for_params)
 from .task import FheTask, FheTaskTpu
 
-__all__ = ['BfvContext', 'CkksContext', 'FheContext', 'FheTask', 'FheTaskTpu',
-           'create_context_for_params']
+__all__ = ['BfvContext', 'CkksBtpContext', 'CkksContext', 'FheContext',
+           'FheTask', 'FheTaskTpu', 'create_context_for_params']

@@ -219,6 +219,58 @@ class BfvContext(FheContext):
 class CkksContext(FheContext):
     engine_cls = CkksEngine
 
+    def create_bootstrapper(self, config=None):
+        """Build the bootstrap precompute and its Galois keys (reference:
+        CkksBtpContext::create_bootstrapper, fhe_lib_v2.h:1216)."""
+        from ..schemes.bootstrap import CkksBootstrapper
+        btp = CkksBootstrapper(self.engine, config)
+        self.gen_galois_keys_for_elements(btp.galois_elements())
+        self.engine.bootstrapper = btp
+        return btp
+
+    def bootstrap(self, ct):
+        if getattr(self.engine, 'bootstrapper', None) is None:
+            raise RuntimeError('call create_bootstrapper() first')
+        import numpy as np
+        return self.engine.bootstrapper(np, ct, self.rlk, self.glk.keys)
+
+
+class CkksBtpContext(CkksContext):
+    """CKKS context with bootstrapping enabled at creation (reference
+    CkksBtpContext, fhe_lib_v2.h:1173-1217). Two-secret design: a dense
+    evaluation secret plus a sparse bootstrap secret (reference parameter
+    sets: H192) bridged by swk_dts / swk_std switching keys."""
+
+    @classmethod
+    def create_random_context(cls, params, seed=None, h: int = 192,
+                              btp_config=None):
+        from ..schemes import keys as K
+        ctx = cls(params, seed)
+        q, p, n = tuple(params.q), tuple(params.p), params.n
+        ctx.sk = K.SecretKey(K.sample_ternary(ctx.rng, n))
+        ctx.pk = K.gen_public_key(ctx.rng, ctx.sk, q, n)
+        ctx.rlk = K.gen_relin_key(ctx.rng, ctx.sk, q, p, n)
+        ctx.sk_sparse = K.SecretKey(K.sample_ternary(ctx.rng, n, h=min(h, n // 4)))
+        # swk_dts re-keys dense→sparse (encrypts s_dense under s_sparse);
+        # swk_std re-keys sparse→dense
+        ctx.swk['swk_dts'] = K.gen_keyswitch_key(
+            ctx.rng, ctx.sk_sparse,
+            lambda mods: ctx.sk.ntt_form(tuple(mods), n), q, p, n)
+        ctx.swk['swk_std'] = K.gen_keyswitch_key(
+            ctx.rng, ctx.sk,
+            lambda mods: ctx.sk_sparse.ntt_form(tuple(mods), n), q, p, n)
+        ctx.create_bootstrapper(btp_config)
+        return ctx
+
+    def bootstrap(self, ct):
+        import numpy as np
+        btp = getattr(self.engine, 'bootstrapper', None)
+        if btp is None:
+            raise RuntimeError('call create_bootstrapper() first')
+        return btp(np, ct, self.rlk, self.glk.keys,
+                   swk_dts=self.swk.get('swk_dts'),
+                   swk_std=self.swk.get('swk_std'))
+
     def conjugate(self, ct):
         return self.rotate_rows(ct)
 

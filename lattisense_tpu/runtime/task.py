@@ -348,6 +348,10 @@ class FheTaskTpu:
         path executes as one fused XLA program, so it reports 0 → total.
         """
         self.check(context, input_values)
+        # bootstrap precompute lives on the user's context engine
+        btp = getattr(context.engine, 'bootstrapper', None)
+        if btp is not None:
+            self.engine.bootstrapper = btp
         flat_args = self._flatten_args(input_values)
         key_tree = self._context_key_tree(context)
         arrays = [np.asarray(v.data) for v in flat_args]
@@ -404,7 +408,10 @@ class FheTaskTpu:
         out_nodes = [self.data[i] for i in self.outputs]
         flat_out = []
         for node, arr, sc in zip(out_nodes, out_arrays, out_scales):
-            flat_out.append(_wrap_input(node, arr, sc))
+            v = _wrap_input(node, arr, sc)
+            if isinstance(v, Ciphertext):
+                v.level = arr.shape[-2] - 1   # shape is ground truth
+            flat_out.append(v)
         outputs = {}
         pos = 0
         for row in (r for r in self.signature['online'] if r['phase'] == 'out'):

@@ -1,0 +1,208 @@
+"""CKKS bootstrapping: ModRaise → CoeffsToSlots → EvalMod → SlotsToCoeffs.
+
+Reference capability parity: CkksBtpContext::bootstrap
+(fhe_ops_lib/fhe_lib_v2.h:1173-1217); configuration semantics follow the
+frontend's bootstrap parameter math (frontend/bootstrap_params.py — DFT
+factorization depths, BSGS ratios, EvalMod sine config).
+
+Value algebra (dense packing, slots s = n/2, folded u_c = m_c + i·m_{c+s}):
+
+1. ModRaise: centered-lift the level-0 ciphertext to the full chain — it
+   now encrypts u = m + q0·I with |I| ≲ K (sparse secret, weight h).
+2. CoeffsToSlots: inverse special-FFT stages post-scaled by
+   Δ/(2K·q0·2^r) put y_j = u_j/(2K·q0·2^r) into slots (bit-reversed
+   order); a conjugation splits the real/imag coefficient halves.
+3. EvalMod: Chebyshev series of cos(2π(2K·2^r·y − 0.25)/2^r) on the
+   actual operand range |y| ≤ 2^-(r+1), then r double-angle squarings:
+   slots become sin(2π·u/q0) ≈ 2π·m/q0.
+4. SlotsToCoeffs: forward stages post-scaled by q0/(2π·Δ) return values
+   to coefficients; the result decodes to the original message.
+
+The bit-reversed slot order introduced by step 2 is consumed exactly by
+step 4 — no homomorphic permutation is ever applied (special_fft.py).
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .linear_transform import EncodedLinearTransform
+from .poly_eval import ChebyshevEvaluator, chebyshev_interpolate
+from .special_fft import cts_matrices, stc_matrices
+from .types import Ciphertext
+from .galois import galois_elt_row
+from ..core import ntt as ntt_mod
+
+
+@dataclass
+class BootstrapConfig:
+    """EvalMod + DFT-depth configuration (reference CkksBtpParameter
+    fields: btp_cts_depth, btp_stc_depth, btp_eval_mod_* —
+    frontend/custom_task.py:1133)."""
+
+    cts_depth: int = 3
+    stc_depth: int = 3
+    k: int = 16                    # covers |I + m/q0| < K
+    sine_deg: int = 30
+    double_angle: int = 3
+    bsgs_ratio: float = 2.0
+
+
+class CkksBootstrapper:
+    """Per-context precompute + the bootstrap op itself."""
+
+    def __init__(self, engine, config: BootstrapConfig | None = None):
+        self.engine = engine
+        self.cfg = config or BootstrapConfig()
+        p = engine.params
+        if p.slots != p.n // 2:
+            raise NotImplementedError('sparse-slot bootstrapping lands with '
+                                      'the repack variant; use slots = n/2')
+        cfg = self.cfg
+        s = p.slots
+        self.q0 = p.q[0]
+        self.scale = p.scale
+        L = p.max_level
+
+        # EvalMod working scale ≈ the chain primes: all scale-preserving
+        # constant multiplies encode at the level prime (Lattigo runs
+        # EvalMod at 2^60 the same way).
+        self.em_scale = float(p.q[1])
+
+        # Encoded at the full level: PlaintextMul limbs slice down to any
+        # working level, so no rigid level schedule is needed. Matrix
+        # plaintexts are encoded at ≈ the level primes so the running
+        # scale is preserved through each rescale.
+        # BSGS split must agree with the frontend's key prediction
+        # (frontend/bootstrap_params.py find_best_bsgs_split) so compiled
+        # task signatures register exactly the Galois keys used here.
+        from ..frontend.bootstrap_params import find_best_bsgs_split
+
+        def split(g):
+            return find_best_bsgs_split({o: True for o in g}, s, cfg.bsgs_ratio)
+
+        post_cts = self.scale / (2.0 * cfg.k * self.q0 * 2 ** cfg.double_angle)
+        self.cts = [EncodedLinearTransform(engine, g, L, split(g),
+                                           scale=self.em_scale)
+                    for g in cts_matrices(s, cfg.cts_depth, post_scale=post_cts)]
+        post_stc = self.q0 / (2.0 * np.pi * self.scale)
+        self.stc = [EncodedLinearTransform(engine, g, L, split(g),
+                                           scale=self.em_scale)
+                    for g in stc_matrices(s, cfg.stc_depth, post_scale=post_stc)]
+
+        # EvalMod series on the actual operand subinterval |y| ≤ 2^-(r+1)
+        K2r = 2.0 * cfg.k * 2 ** cfg.double_angle
+        r = cfg.double_angle
+
+        def f(y):
+            return np.cos(2 * np.pi * (K2r * y - 0.25) / 2 ** r)
+
+        a = 1.0 / 2 ** (r + 1)
+        self.evalmod = ChebyshevEvaluator(
+            engine, chebyshev_interpolate(f, -a, a, cfg.sine_deg), -a, a)
+
+    # ------------------------------------------------------------------
+    def galois_elements(self) -> list[int]:
+        n = self.engine.params.n
+        elts = {galois_elt_row(n)}
+        for lt in self.cts + self.stc:
+            elts.update(lt.galois_elements())
+        return sorted(elts)
+
+    def min_levels(self) -> int:
+        """Rough level consumption (cts + split + evalmod + doublings +
+        recombine + stc)."""
+        cfg = self.cfg
+        em = (len(self.evalmod.coeffs) - 1).bit_length() + 2
+        return cfg.cts_depth + 1 + em + cfg.double_angle + 1 + cfg.stc_depth
+
+    # ------------------------------------------------------------------
+    def mod_raise(self, xp, ct: Ciphertext) -> Ciphertext:
+        """Level 0 → full chain by centered lift of the coefficients."""
+        eng = self.engine
+        p = eng.params
+        ring0 = eng.ring(0)
+        ringL = eng.ring(p.max_level)
+        coeffs = ntt_mod.intt(xp, ct.data, ring0)        # (2, 1, n) mod q0
+        v = coeffs[..., 0, :]
+        half = v.dtype.type(self.q0 // 2)
+        qs = ringL.q                                     # (L+1, 1)
+        vm = v[..., None, :] % qs
+        q0m = (np.asarray([self.q0], dtype=np.uint64)[None, :] % qs)
+        neg = (vm + qs - q0m) % qs
+        lifted = xp.where((v > half)[..., None, :], neg, vm)
+        data = ntt_mod.ntt(xp, lifted, ringL)
+        return Ciphertext(data=data, level=p.max_level, is_ntt=True,
+                          scale=ct.scale)
+
+    def _mul_const_complex(self, xp, ct, value, target_scale=None):
+        """Constant multiply that lands the output at ``target_scale``
+        (defaults to preserving ct.scale) by steering the plaintext scale."""
+        eng = self.engine
+        q_lv = float(eng.q[ct.level])
+        target = target_scale or ct.scale
+        pt_scale = target * q_lv / ct.scale
+        pt = eng.encode(np.full(eng.params.slots, value), ct.level, pt_scale)
+        out = eng.rescale(xp, eng.mult(xp, ct, pt))
+        out.scale = target
+        return out
+
+    def _conj(self, xp, ct, glk_map):
+        elt = galois_elt_row(self.engine.params.n)
+        return self.engine.apply_galois(xp, ct, elt, glk_map[elt])
+
+    def _double_angle(self, xp, ct, rlk):
+        eng = self.engine
+        sq = eng.rescale(xp, eng.relinearize(xp, eng.mult(xp, ct, ct), rlk))
+        two = eng.add(xp, sq, sq)
+        pt = eng.encode(np.full(eng.params.slots, -1.0), two.level, two.scale)
+        return eng.add(xp, two, pt)
+
+    # ------------------------------------------------------------------
+    def __call__(self, xp, ct: Ciphertext, rlk, glk_map,
+                 swk_dts=None, swk_std=None) -> Ciphertext:
+        """With swk_dts/swk_std (reference two-secret design): hop onto the
+        sparse bootstrap secret for the mod-raise (small |I|), then back to
+        the dense evaluation secret before the linear transforms."""
+        eng = self.engine
+        if ct.level != 0:
+            ct = eng.drop_level(xp, ct, ct.level)
+        if swk_dts is not None:
+            ct = eng.key_switch(xp, ct, swk_dts)
+        t = self.mod_raise(xp, ct)
+        if swk_std is not None:
+            t = eng.key_switch(xp, t, swk_std)
+
+        # CoeffsToSlots → y in bit-reversed order, then real/imag split
+        for lt in self.cts:
+            t = eng.rescale(xp, lt(xp, t, glk_map))
+        tc = self._conj(xp, t, glk_map)
+        # steer onto the large EvalMod scale at the split
+        t0 = self._mul_const_complex(xp, eng.add(xp, t, tc), 0.5,
+                                     target_scale=self.em_scale)
+        t1 = self._mul_const_complex(xp, eng.sub(xp, t, tc), -0.5j,
+                                     target_scale=self.em_scale)
+
+        # EvalMod per half + double-angle
+        outs = []
+        for u in (t0, t1):
+            c = self.evalmod(xp, u, rlk)
+            for _ in range(self.cfg.double_angle):
+                c = self._double_angle(xp, c, rlk)
+            outs.append(c)
+        g0, g1 = outs
+        g1i = self._mul_const_complex(xp, g1, 1j)
+        if g0.level > g1i.level:
+            g0 = eng.drop_level(xp, g0, g0.level - g1i.level)
+        g0.scale = g1i.scale
+        t = eng.add(xp, g0, g1i)
+
+        # SlotsToCoeffs
+        for lt in self.stc:
+            t = eng.rescale(xp, lt(xp, t, glk_map))
+        # land exactly on the caller's scale (reference restores the input
+        # scale after bootstrap, mega_ag_executors_cpu.cpp:460-463)
+        target = ct.scale
+        if abs(t.scale - target) / target > 1e-9:
+            t = self._mul_const_complex(xp, t, 1.0, target_scale=target)
+        return t

@@ -266,6 +266,25 @@ class CkksEngine:
         return Ciphertext(data=xp.stack([_u.addmod(xp, c0, e0, ring.q), e1]),
                           level=level, is_ntt=True, scale=ct.scale)
 
+    def key_switch(self, xp, ct: Ciphertext, ksk) -> Ciphertext:
+        """Re-key a ciphertext: decrypts under s_new given ksk encrypting
+        s_old under s_new (bootstrap's dense↔sparse hops, swk_dts/swk_std)."""
+        level = ct.level
+        ring = self.ring(level)
+        c1 = ntt_mod.intt(xp, ct.data[1], ring)
+        e0, e1 = self.switcher.switch(xp, c1, ksk, level, output_ntt=True)
+        return Ciphertext(data=xp.stack([_u.addmod(xp, ct.data[0], e0, ring.q), e1]),
+                          level=level, is_ntt=True, scale=ct.scale)
+
+    def bootstrap(self, xp, ct: Ciphertext, keys) -> Ciphertext:
+        """Graph-runtime entry (OperationType.Bootstrap executor)."""
+        btp = getattr(self, 'bootstrapper', None)
+        if btp is None:
+            raise RuntimeError('engine has no bootstrapper; use CkksBtpContext')
+        swk = keys.get('swk', {})
+        return btp(xp, ct, keys['rlk'], keys['glk'],
+                   swk_dts=swk.get('swk_dts'), swk_std=swk.get('swk_std'))
+
     def rns_sp_decomp(self, xp, ct: Ciphertext):
         """Hoisted-rotation precompute (c1 decomposition; see bfv.py)."""
         from .types import DecomposedCiphertext

@@ -38,8 +38,15 @@ def lift_signed(coeffs, moduli) -> np.ndarray:
     return out
 
 
-def sample_ternary(rng, n: int) -> np.ndarray:
-    return rng.integers(-1, 2, size=n, dtype=np.int64)
+def sample_ternary(rng, n: int, h: int | None = None) -> np.ndarray:
+    """Uniform ternary secret; ``h`` gives a sparse secret of Hamming
+    weight h (bootstrapping contexts — reference param sets use H192)."""
+    if h is None:
+        return rng.integers(-1, 2, size=n, dtype=np.int64)
+    coeffs = np.zeros(n, dtype=np.int64)
+    idx = rng.choice(n, size=h, replace=False)
+    coeffs[idx] = rng.choice(np.array([-1, 1], dtype=np.int64), size=h)
+    return coeffs
 
 
 def sample_gaussian(rng, n: int) -> np.ndarray:

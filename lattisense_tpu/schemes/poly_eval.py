@@ -94,8 +94,14 @@ class ChebyshevEvaluator:
         return eng.add(xp, ct, pt)
 
     def _mul_const(self, xp, ct, value: float, rescale=True):
+        """Scale-preserving scalar multiply: the constant is encoded at the
+        level's rescale prime, so ct.scale survives the rescale exactly —
+        lets the whole evaluation run at a large scale (e.g. 2^60 EvalMod
+        levels) independent of the context default."""
         eng = self.engine
-        out = eng.mult_scalar(xp, ct, value)
+        pt = eng.encode(np.full(eng.params.slots, value), ct.level,
+                        scale=float(eng.q[ct.level]))
+        out = eng.mult(xp, ct, pt)
         return eng.rescale(xp, out) if rescale else out
 
     def _mult(self, xp, x, y, rlk):
