@@ -14,11 +14,26 @@ This replaces the reference's Lattigo/HEonGPU NTT kernels
 the framework means *bit-reversed evaluation order*, matching these kernels.
 """
 
+import os
+
 from . import u64 as _u
+
+_USE_NATIVE = os.environ.get('LATTISENSE_NO_NATIVE', '') in ('', '0')
+
+
+def _native():
+    if not _USE_NATIVE:
+        return None
+    from .. import native
+    return native if native.available() else None
 
 
 def ntt(xp, x, ring):
     """Forward negacyclic NTT. x: u64 (..., L, n) in [0, q). Output bit-reversed."""
+    if xp.__name__ == 'numpy':
+        nat = _native()
+        if nat is not None:
+            return nat.ntt_forward(x, ring)
     n = x.shape[-1]
     L = x.shape[-2]
     batch = x.shape[:-2]
@@ -44,6 +59,10 @@ def ntt(xp, x, ring):
 
 def intt(xp, x, ring):
     """Inverse negacyclic NTT. Input bit-reversed, output natural, scaled by n^-1."""
+    if xp.__name__ == 'numpy':
+        nat = _native()
+        if nat is not None:
+            return nat.ntt_inverse(x, ring)
     n = x.shape[-1]
     L = x.shape[-2]
     batch = x.shape[:-2]

@@ -59,6 +59,8 @@ class _Node:
 
 def _wrap_input(node: _Node, array, scale: float):
     """Array → typed carrier using the data node's static metadata."""
+    if node.is_custom:
+        return array            # custom payloads pass through untyped
     t = node.type
     if t in ('ct', 'ct3'):
         return Ciphertext(data=array, level=node.level, is_ntt=node.is_ntt,
@@ -81,7 +83,8 @@ class FheTaskTpu:
     then ``run(context, inputs)`` → (outputs, duration_ns).
     """
 
-    def __init__(self, task_dir: str, mode: str = 'jit', donate_inputs: bool = False):
+    def __init__(self, task_dir: str, mode: str = 'jit', donate_inputs: bool = False,
+                 custom_executors: dict | None = None):
         with open(os.path.join(task_dir, 'mega_ag.json')) as f:
             self.mag = json.load(f)
         with open(os.path.join(task_dir, 'task_signature.json')) as f:
@@ -89,6 +92,9 @@ class FheTaskTpu:
         assert mode in ('jit', 'eager')
         self.mode = mode
         self.donate_inputs = donate_inputs
+        # user executors for custom compute nodes, keyed by node type
+        # (reference: bind_*_task_custom_executors, wrapper.h:31-105)
+        self.custom_executors = custom_executors or {}
         self.params = params_from_task_json(self.mag['parameter'])
         self.algo = self.mag['algorithm']
         self.engine = (BfvEngine if self.algo == 'BFV' else CkksEngine)(self.params)
@@ -145,6 +151,20 @@ class FheTaskTpu:
         op = c['type']
         eng = self.engine
         out_idx = c['outputs'][0] if c['outputs'] else None
+
+        if c.get('is_custom'):
+            fn = self.custom_executors.get(op)
+            if fn is None:
+                raise ValueError(f'no executor bound for custom compute type '
+                                 f'"{op}"; pass custom_executors={{...}}')
+            in_nodes = [self.data[i] for i in c['inputs']]
+            attrs = c.get('attributes', {})
+
+            def run(env, xp, keys):
+                env[out_idx] = fn(xp, eng, [env[n.index] for n in in_nodes],
+                                  attrs)
+            return run
+
         cts, ct3s, pts, keynodes = self._classify_inputs(c)
 
         def ctv(env, k=0):

@@ -199,3 +199,29 @@ def test_hoisted_rotations_task(bfv_setup, tmp_path, mode):
         # multiple differs under negation) but BFV decryption is exact
         np.testing.assert_array_equal(context.decrypt_decode(outputs[f'r{s}']),
                                       oracles.vec_rotate_col(m, s))
+
+
+@pytest.mark.parametrize('mode', ['eager', 'jit'])
+def test_custom_compute_escape_hatch(bfv_setup, tmp_path, mode):
+    """User-defined compute nodes bound to user executors at load time
+    (reference: custom_compute + bind_*_task_custom_executors)."""
+    fe_param, context = bfv_setup
+
+    def build():
+        x = ct.BfvCiphertextNode('x', 1)
+        y = ct.BfvCiphertextNode('y', 1)
+        ct.custom_compute([x], y, type='double_it', attributes={'factor': 2})
+        return [ct.Argument('x', x)], [ct.Argument('y', y)]
+
+    def double_it(xp, engine, inputs, attrs):
+        assert attrs['factor'] == 2
+        out = inputs[0]
+        return engine.add(xp, out, out)
+
+    task = FheTaskTpu(gen_task(fe_param, build, tmp_path), mode=mode,
+                      custom_executors={'double_it': double_it})
+    rng = np.random.default_rng(8)
+    m = rng.integers(0, T, N, dtype=np.uint64)
+    outputs, _ = task.run(context, {'x': context.encrypt(context.encode(m, 1))})
+    np.testing.assert_array_equal(context.decrypt_decode(outputs['y']),
+                                  (2 * m.astype(np.int64)) % T)
