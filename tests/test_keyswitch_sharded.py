@@ -1,0 +1,36 @@
+"""Digit/limb-sharded key switch vs the single-device implementation —
+bit-exact over the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import lattisense_tpu  # noqa: F401
+from lattisense_tpu.core.modring import gen_ntt_primes
+from lattisense_tpu.parallel.keyswitch_sharded import ShardedKeySwitcher
+from lattisense_tpu.parallel.mesh import make_mesh
+from lattisense_tpu.schemes import keys as K
+from lattisense_tpu.schemes.keyswitch import KeySwitcher
+
+N = 64
+
+
+@pytest.mark.parametrize('limb_devices', [2, 4])
+def test_sharded_keyswitch_bitexact(limb_devices):
+    q = gen_ntt_primes(N, 50, 8)
+    p = gen_ntt_primes(N, 51, 2, exclude=tuple(q))
+    sw = KeySwitcher(tuple(q), tuple(p), N)
+    rng = np.random.default_rng(3)
+    sk = K.SecretKey(K.sample_ternary(rng, N))
+    ksk = K.gen_keyswitch_key(rng, sk, lambda mods: sk.ntt_form(tuple(mods), N),
+                              tuple(q), tuple(p), N)
+    level = 7
+    x = np.stack([rng.integers(0, qi, N, dtype=np.uint64)
+                  for qi in q[:level + 1]])
+
+    ref0, ref1 = sw.switch(np, x, ksk, level)
+
+    mesh = make_mesh(op=8 // limb_devices, limb=limb_devices)
+    sharded = ShardedKeySwitcher(sw, level, mesh)
+    got0, got1 = sharded(x, ksk.key_q, ksk.key_p)
+    np.testing.assert_array_equal(got0, ref0)
+    np.testing.assert_array_equal(got1, ref1)
