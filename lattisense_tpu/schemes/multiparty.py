@@ -20,7 +20,7 @@ from ..core import u64 as _u
 from ..core.modring import get_rns_ring
 from ..utils.serialize import (_emit, _pack_rns, _parse, _unpack_rns,
                                expand_uniform)
-from .keys import SIGMA, SecretKey, _gamma_times_p, lift_signed, sample_gaussian, sample_ternary
+from .keys import SecretKey, _gamma_times_p, lift_signed, sample_gaussian, sample_ternary
 from .types import Ciphertext, KeySwitchKey, PublicKey
 from .galois import apply_automorphism_coeff
 
