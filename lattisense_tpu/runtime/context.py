@@ -196,9 +196,26 @@ class FheContext:
             out = self._rotate_unit(out, s)
         return out
 
-    def advanced_rotate_cols(self, ct, steps: int):
-        """Single direct-key rotation (reference advanced_rotate_cols)."""
-        return self._rotate_unit(ct, steps)
+    def advanced_rotate_cols(self, ct, steps):
+        """Direct-key rotation; a list of steps returns {step: ct} with one
+        shared hoisted decomposition (reference batch advanced_rotate_cols,
+        fhe_lib_v2.h:702)."""
+        if isinstance(steps, int):
+            return self._rotate_unit(ct, steps)
+        import numpy as np
+        dct = self.engine.rns_sp_decomp(np, ct)
+        out = {}
+        for s in steps:
+            elt = galois_elt_col(s, self.params.n)
+            out[s] = self.engine.apply_galois_decomposed(np, dct, elt,
+                                                         self._glk_for(elt))
+        return out
+
+    def get_coeff(self, ct, poly_idx: int, limb: int, coeff_idx: int) -> int:
+        """Raw RNS coefficient peek (reference BfvCiphertext::get_coeff,
+        fhe_lib_v2.h:1277)."""
+        import numpy as np
+        return int(np.asarray(ct.data)[poly_idx, limb, coeff_idx])
 
     def _rotate_unit(self, ct, step: int):
         elt = galois_elt_col(step, self.params.n)
@@ -215,9 +232,36 @@ class BfvContext(FheContext):
     def mult_scalar(self, ct, scalar: int):
         return self.engine.mult_scalar(np, ct, scalar)
 
+    def encode_coeffs(self, coeffs, level=None):
+        level = self.params.max_level if level is None else level
+        return self.engine.encode_coeffs(coeffs, level)
+
+    def encode_coeffs_ringt(self, coeffs):
+        return self.engine.encode_coeffs_ringt(coeffs)
+
+    def encode_coeffs_mul(self, coeffs, level=None):
+        level = self.params.max_level if level is None else level
+        return self.engine.encode_coeffs_mul(coeffs, level)
+
+    def decrypt_coeffs(self, ct):
+        if self.sk is None:
+            raise RuntimeError('cannot decrypt with a public context')
+        return self.engine.decrypt_coeffs(self.sk, ct)
+
 
 class CkksContext(FheContext):
     engine_cls = CkksEngine
+
+    def poly_eval_relu_function(self, ct, degree: int = 15, bound: float = 1.0):
+        """Polynomial ReLU activation (reference poly_eval_relu_function,
+        fhe_lib_v2.h:1101)."""
+        from ..schemes.poly_eval import poly_eval_relu
+        return poly_eval_relu(self.engine, np, ct, self.rlk, degree, bound)
+
+    def poly_eval_step_function(self, ct, degree: int = 15, bound: float = 1.0):
+        """Polynomial step activation (reference poly_eval_step_function)."""
+        from ..schemes.poly_eval import poly_eval_step
+        return poly_eval_step(self.engine, np, ct, self.rlk, degree, bound)
 
     def create_bootstrapper(self, config=None):
         """Build the bootstrap precompute and its Galois keys (reference:

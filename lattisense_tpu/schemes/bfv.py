@@ -121,6 +121,38 @@ class BfvEngine:
     def decode(self, pt_mod_t: np.ndarray) -> np.ndarray:
         return bfv_decode_slots(pt_mod_t, self.t, self.n)
 
+    # ---- coefficient-wise encodes (reference encode_coeffs{,_ringt,_mul},
+    # fhe_lib_v2.h:358-706: the message is the polynomial itself) ----------
+    def encode_coeffs(self, coeffs, level: int) -> Plaintext:
+        m = np.zeros(self.n, dtype=_U64)
+        vals = np.asarray(coeffs, dtype=_U64) % _U64(self.t)
+        m[:len(vals)] = vals
+        Q = self.params.q_prod(level)
+        scaled = [(int(c) * Q + self.t // 2) // self.t for c in m]
+        data = np.stack([np.array([s % qi for s in scaled], dtype=_U64)
+                         for qi in self.q[:level + 1]])
+        return Plaintext(data=data, level=level)
+
+    def encode_coeffs_ringt(self, coeffs) -> PlaintextRingt:
+        m = np.zeros(self.n, dtype=_U64)
+        vals = np.asarray(coeffs, dtype=_U64) % _U64(self.t)
+        m[:len(vals)] = vals
+        return PlaintextRingt(data=m)
+
+    def encode_coeffs_mul(self, coeffs, level: int) -> PlaintextMul:
+        m = np.zeros(self.n, dtype=_U64)
+        vals = np.asarray(coeffs, dtype=_U64) % _U64(self.t)
+        m[:len(vals)] = vals
+        ring = self.ring(level)
+        lifted = np.broadcast_to(m, (level + 1, self.n)).copy()
+        f = ntt_mod.ntt(np, lifted, ring)
+        return PlaintextMul(data=_u.to_mont(np, f, ring.q, ring.pinv, ring.r2),
+                            level=level)
+
+    def decrypt_coeffs(self, sk, ct: Ciphertext) -> np.ndarray:
+        """Decrypt to the raw plaintext polynomial mod t (no slot decode)."""
+        return self.decrypt(sk, ct)
+
     # ---- encrypt / decrypt (host) ----
     def encrypt_asymmetric(self, rng, pk, pt: Plaintext) -> Ciphertext:
         from .keys import sample_ternary, sample_gaussian, lift_signed

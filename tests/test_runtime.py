@@ -225,3 +225,37 @@ def test_custom_compute_escape_hatch(bfv_setup, tmp_path, mode):
     outputs, _ = task.run(context, {'x': context.encrypt(context.encode(m, 1))})
     np.testing.assert_array_equal(context.decrypt_decode(outputs['y']),
                                   (2 * m.astype(np.int64)) % T)
+
+
+def test_facade_completeness(bfv_setup):
+    """Coefficient encodes, coefficient peek, batch hoisted rotations
+    (reference facade surface: encode_coeffs*, get_coeff, batch
+    advanced_rotate_cols)."""
+    fe_param, context = bfv_setup
+    rng = np.random.default_rng(9)
+    m = rng.integers(0, T, N, dtype=np.uint64)
+
+    # coefficient-wise encode: the polynomial IS the message
+    ctx_ct = context.encrypt(context.encode_coeffs(m, 2))
+    np.testing.assert_array_equal(context.decrypt_coeffs(ctx_ct), m)
+
+    # pt_ringt / pt_mul coefficient variants multiply correctly
+    a = context.encrypt(context.encode_coeffs(m, 1))
+    one = np.zeros(N, dtype=np.uint64)
+    one[0] = 1                                  # x^0: identity polynomial
+    prod = context.mult(a, context.encode_coeffs_mul(one, 1))
+    np.testing.assert_array_equal(context.decrypt_coeffs(prod), m)
+
+    # raw coefficient peek matches the array
+    assert context.get_coeff(a, 0, 0, 5) == int(np.asarray(a.data)[0, 0, 5])
+
+    # batch hoisted rotation returns {step: ct}
+    steps = [1, 2]
+    from lattisense_tpu.schemes.galois import galois_elt_col
+    context.gen_galois_keys_for_elements([galois_elt_col(s, N) for s in steps])
+    msg = rng.integers(0, T, N, dtype=np.uint64)
+    ct2 = context.encrypt(context.encode(msg, 1))
+    rots = context.advanced_rotate_cols(ct2, steps)
+    for s in steps:
+        np.testing.assert_array_equal(context.decrypt_decode(rots[s]),
+                                      oracles.vec_rotate_col(msg, s))
