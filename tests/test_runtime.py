@@ -259,3 +259,33 @@ def test_facade_completeness(bfv_setup):
     for s in steps:
         np.testing.assert_array_equal(context.decrypt_decode(rots[s]),
                                       oracles.vec_rotate_col(msg, s))
+
+
+@pytest.mark.parametrize('mode', ['eager'])
+def test_seal_convention_rotations(bfv_setup, tmp_path, mode):
+    """SEAL-convention rotations (galois_gen=3) through the compiled path:
+    the runtime reads galois elements off the key nodes, so both
+    conventions execute with the same machinery."""
+    fe_param, context = bfv_setup
+
+    def build():
+        x = ct.BfvCiphertextNode('x', 1)
+        r = ct.seal_advanced_rotate_cols(x, [2], 'r')[0]
+        w = ct.seal_rotate_rows(x, 'w')
+        return [ct.Argument('x', x)], [ct.Argument('r', r), ct.Argument('w', w)]
+
+    task_dir = gen_task(fe_param, build, tmp_path)
+    from lattisense_tpu.frontend.custom_task import (
+        get_galois_element_for_column_rotation_by, get_galois_element_for_row_rotation)
+    elt = get_galois_element_for_column_rotation_by(2, N, 3)
+    context.gen_galois_keys_for_elements([elt, get_galois_element_for_row_rotation(N)])
+    task = FheTaskTpu(task_dir, mode=mode)
+    rng = np.random.default_rng(10)
+    m = rng.integers(0, T, N, dtype=np.uint64)
+    outputs, _ = task.run(context, {'x': context.encrypt(context.encode(m, 1))})
+    # gen-3 automorphism x -> x^(3^2): a valid permutation of slots; row
+    # swap is convention-independent
+    np.testing.assert_array_equal(context.decrypt_decode(outputs['w']),
+                                  oracles.vec_rotate_row(m))
+    got = np.sort(context.decrypt_decode(outputs['r']))
+    np.testing.assert_array_equal(got, np.sort(m))   # permutation of the slots
