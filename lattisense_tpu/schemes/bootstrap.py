@@ -55,11 +55,13 @@ class CkksBootstrapper:
         self.engine = engine
         self.cfg = config or BootstrapConfig()
         p = engine.params
-        if p.slots != p.n // 2:
-            raise NotImplementedError('sparse-slot bootstrapping lands with '
-                                      'the repack variant; use slots = n/2')
         cfg = self.cfg
         s = p.slots
+        # sparse packing: messages replicate R times over the ring slots;
+        # the special transform shrinks to size s (roots ω^R share the same
+        # twiddle formula), at the cost of a SubSum projection whose
+        # rotations are the frontend's predicted 2^i·s steps
+        self.repl = (p.n // 2) // s
         self.q0 = p.q[0]
         self.scale = p.scale
         L = p.max_level
@@ -81,7 +83,9 @@ class CkksBootstrapper:
         def split(g):
             return find_best_bsgs_split({o: True for o in g}, s, cfg.bsgs_ratio)
 
-        post_cts = self.scale / (2.0 * cfg.k * self.q0 * 2 ** cfg.double_angle)
+        # the SubSum projection scales the message by R — fold 1/R here
+        post_cts = self.scale / (2.0 * cfg.k * self.q0 * 2 ** cfg.double_angle
+                                 * self.repl)
         self.cts = [EncodedLinearTransform(engine, g, L, split(g),
                                            scale=self.em_scale)
                     for g in cts_matrices(s, cfg.cts_depth, post_scale=post_cts)]
@@ -103,10 +107,15 @@ class CkksBootstrapper:
 
     # ------------------------------------------------------------------
     def galois_elements(self) -> list[int]:
-        n = self.engine.params.n
-        elts = {galois_elt_row(n)}
+        from .galois import galois_elt_col
+        p = self.engine.params
+        elts = {galois_elt_row(p.n)}
         for lt in self.cts + self.stc:
             elts.update(lt.galois_elements())
+        step = p.slots
+        while step < p.n // 2:                   # SubSum rotations (sparse)
+            elts.add(galois_elt_col(step, p.n))
+            step <<= 1
         return sorted(elts)
 
     def min_levels(self) -> int:
@@ -172,6 +181,17 @@ class CkksBootstrapper:
         t = self.mod_raise(xp, ct)
         if swk_std is not None:
             t = eng.key_switch(xp, t, swk_std)
+
+        # sparse packing: SubSum projects onto the replicated subspace
+        # (coefficients supported on multiples of R); message scaled by R,
+        # undone in the CoeffsToSlots fold
+        from .galois import galois_elt_col
+        p = eng.params
+        step = p.slots
+        while step < p.n // 2:
+            elt = galois_elt_col(step, p.n)
+            t = eng.add(xp, t, eng.apply_galois(xp, t, elt, glk_map[elt]))
+            step <<= 1
 
         # CoeffsToSlots → y in bit-reversed order, then real/imag split
         for lt in self.cts:

@@ -82,3 +82,24 @@ def test_bootstrap_task_graph(btp_ctx, tmp_path):
     outputs, _ = task.run(ctx, {'x': ct})
     got = ctx.decrypt_decode(outputs['z']).real
     assert np.max(np.abs(got - msg)) < 5e-3
+
+
+def test_bootstrap_sparse_slots():
+    """Sparse packing (slots < n/2): SubSum projection + size-s transforms
+    (reference toy bootstrap covers dense AND sparse)."""
+    q0 = gen_ntt_primes(N, 61, 1)
+    qs = gen_ntt_primes(N, 60, 22)
+    p = gen_ntt_primes(N, 61, 3, exclude=tuple(q0))
+    params = CkksParams.create_custom(N, q0 + qs, p[1:], slots=N // 8,
+                                      scale=float(1 << 45))
+    cfg = BootstrapConfig(cts_depth=2, stc_depth=2, k=16, sine_deg=30,
+                          double_angle=3)
+    ctx = CkksBtpContext.create_random_context(params, seed=73, h=32,
+                                               btp_config=cfg)
+    rng = np.random.default_rng(2)
+    msg = rng.uniform(-1, 1, params.slots)
+    ct = ctx.encrypt(ctx.encode(msg, 0))
+    fresh = ctx.bootstrap(ct)
+    got = ctx.decrypt_decode(fresh).real
+    err = np.max(np.abs(got - msg))
+    assert err < 5e-3, f'sparse bootstrap err {err:.2e}'
