@@ -40,7 +40,7 @@ _KEY_TYPES = ('rlk', 'glk', 'swk')
 class _Node:
     __slots__ = ('index', 'id', 'type', 'level', 'degree', 'is_ntt', 'is_mform',
                  'sp_level', 'galois_element', 'is_custom', 'attributes',
-                 'sp_decomped')
+                 'sp_decomped', 'is_compressed')
 
     def __init__(self, index: int, d: dict):
         self.index = index
@@ -55,6 +55,7 @@ class _Node:
         self.is_custom = d.get('is_custom', False)
         self.attributes = d.get('attributes', {})
         self.sp_decomped = d.get('poly1_rns_sp_decomped', False)
+        self.is_compressed = d.get('is_compressed', False)
 
 
 def _wrap_input(node: _Node, array, scale: float):
@@ -194,6 +195,15 @@ class FheTaskTpu:
             if len(c['inputs']) == 1:
                 def run(env, xp, keys):
                     env[out_idx] = eng.mult(xp, ctv(env), ctv(env))
+            elif pts and pts[0].is_compressed:
+                # compressed pt_ringt storage: the op consumes one block,
+                # selected by the node's compressed_block_info
+                pi = pts[0].index
+                block = int(c['compressed_block_info'][0])
+
+                def run(env, xp, keys):
+                    pt = PlaintextRingt(data=env[pi].data[block])
+                    env[out_idx] = eng.mult(xp, ctv(env), pt)
             elif pts:
                 pi = pts[0].index
 
@@ -243,13 +253,24 @@ class FheTaskTpu:
         if op in ('cmp_sum', 'cmpac_sum'):
             n = c['sum_cnt']
             accumulate = op == 'cmpac_sum'
-            ct_nodes, pt_nodes = cts[:n], pts[:n]
+            ct_nodes = cts[:n]
             acc_node = cts[n] if accumulate else None
+            if pts and pts[0].is_compressed:
+                pi = pts[0].index
+                blocks = [int(b) for b in c['compressed_block_info']]
+
+                def get_pt(env, i):
+                    return PlaintextRingt(data=env[pi].data[blocks[i]])
+            else:
+                pt_nodes = pts[:n]
+
+                def get_pt(env, i):
+                    return env[pt_nodes[i].index]
 
             def run(env, xp, keys):
                 total = None
-                for ci, pi in zip(ct_nodes, pt_nodes):
-                    prod = eng.mult(xp, env[ci.index], env[pi.index])
+                for i, ci in enumerate(ct_nodes):
+                    prod = eng.mult(xp, env[ci.index], get_pt(env, i))
                     total = prod if total is None else eng.add(xp, total, prod)
                 if acc_node is not None:
                     total = eng.add(xp, total, env[acc_node.index])

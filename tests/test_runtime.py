@@ -289,3 +289,31 @@ def test_seal_convention_rotations(bfv_setup, tmp_path, mode):
                                   oracles.vec_rotate_row(m))
     got = np.sort(context.decrypt_decode(outputs['r']))
     np.testing.assert_array_equal(got, np.sort(m))   # permutation of the slots
+
+
+@pytest.mark.parametrize('mode', ['eager', 'jit'])
+def test_compressed_plaintext_mac(bfv_setup, tmp_path, mode):
+    """Compressed pt_ringt storage: one (blocks, n) plaintext argument
+    feeds a MAC chain block-by-block via compressed_block_info."""
+    fe_param, context = bfv_setup
+    k = 4
+
+    def build():
+        xs = [ct.BfvCiphertextNode(f'x{i}', 1) for i in range(k)]
+        y = ct.BfvCompressedPlaintextRingtNode('y', compressed_block_info=list(range(k)))
+        z = ct.ct_pt_mult_accumulate(xs, y)
+        return [ct.Argument('x', xs), ct.Argument('y', y)], [ct.Argument('z', z, )]
+
+    task = FheTaskTpu(gen_task(fe_param, build, tmp_path), mode=mode)
+    rng = np.random.default_rng(12)
+    ms = [rng.integers(0, T, N, dtype=np.uint64) for _ in range(k)]
+    blocks = rng.integers(0, T, (k, N), dtype=np.uint64)
+    from lattisense_tpu.schemes.types import PlaintextRingt
+    xs = [context.encrypt(context.encode(m, 1)) for m in ms]
+    y = PlaintextRingt(data=np.stack([
+        context.engine.encode_ringt(b).data for b in blocks]))
+    outputs, _ = task.run(context, {'x': xs, 'y': y})
+    expected = np.zeros(N, dtype=np.int64)
+    for m, b in zip(ms, blocks):
+        expected = oracles.vec_mod_add(expected, oracles.vec_mod_mul(m, b, T), T)
+    np.testing.assert_array_equal(context.decrypt_decode(outputs['z']), expected)
