@@ -1,0 +1,91 @@
+"""Multi-device scaling efficiency of batched FHE throughput.
+
+BASELINE.md metric: ">=70% scaling efficiency on a 2-host pod slice".
+On a pod slice this measures the real thing (batch sharded over the `op`
+mesh axis, keys replicated); on a single chip or the virtual CPU mesh it
+validates the harness and reports the SPMD overhead of the partitioning.
+
+Run: python benchmarks/scaling.py [--n 4096] [--limbs 3] [--cpu]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--n', type=int, default=4096)
+    ap.add_argument('--limbs', type=int, default=3)
+    ap.add_argument('--per-device-batch', type=int, default=4)
+    ap.add_argument('--cpu', action='store_true')
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu or 'axon' in (jax.config.jax_platforms or ''):
+        flags = os.environ.get('XLA_FLAGS', '')
+        if '--xla_force_host_platform_device_count' not in flags:
+            os.environ['XLA_FLAGS'] = (flags +
+                                       ' --xla_force_host_platform_device_count=8').strip()
+        jax.config.update('jax_platforms', 'cpu')
+
+    import lattisense_tpu  # noqa: F401
+    from lattisense_tpu.core.modring import gen_ntt_primes
+    from lattisense_tpu.params import BfvParams
+    from lattisense_tpu.runtime import BfvContext
+    from lattisense_tpu.parallel.batch import (bfv_mult_relin, key_tree,
+                                               make_batched_step)
+    from lattisense_tpu.parallel.mesh import make_mesh, ct_batch_spec, shard
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = args.n
+    q = gen_ntt_primes(n, 50, args.limbs + 1)
+    p = gen_ntt_primes(n, 51, 1, exclude=tuple(q))
+    params = BfvParams.create_custom(n, 65537, q, p)
+    ctx = BfvContext.create_random_context(params, seed=7)
+    level = args.limbs
+    rng = np.random.default_rng(0)
+    msg = rng.integers(0, params.t, (2, n), dtype=np.uint64)
+    c0 = ctx.encrypt(ctx.encode(msg[0], level))
+    c1 = ctx.encrypt(ctx.encode(msg[1], level))
+
+    n_dev = len(jax.devices())
+    results = {}
+    d = 1
+    while d <= n_dev:
+        B = args.per_device_batch * d
+        mesh = make_mesh(op=d, limb=1, devices=jax.devices()[:d])
+        fn = make_batched_step(ctx.engine, bfv_mult_relin, level, mesh=mesh,
+                               n_inputs=2)
+        a = shard(mesh, np.tile(c0.data[None], (B, 1, 1, 1)), ct_batch_spec())
+        b = shard(mesh, np.tile(c1.data[None], (B, 1, 1, 1)), ct_batch_spec())
+        keys = jax.tree.map(lambda k: jax.device_put(
+            k, NamedSharding(mesh, P())), key_tree(ctx))
+        out = fn(a, b, keys)
+        np.asarray(out).ravel()[:2]
+
+        def run(k):
+            t0 = time.perf_counter()
+            x = a
+            for _ in range(k):
+                x = fn(x, b, keys)
+            np.asarray(x).ravel()[:2]
+            return time.perf_counter() - t0
+
+        run(2)
+        t1, t2 = run(4), run(8)
+        per = (t2 - t1) / 4
+        results[d] = B / per
+        eff = results[d] / (results[1] * d) * 100
+        print(f'devices={d}: {results[d]:10.1f} ops/s  '
+              f'(scaling efficiency {eff:5.1f}%)', flush=True)
+        d *= 2
+
+
+if __name__ == '__main__':
+    main()
