@@ -85,7 +85,7 @@ class FheTaskTpu:
     """
 
     def __init__(self, task_dir: str, mode: str = 'jit', donate_inputs: bool = False,
-                 custom_executors: dict | None = None):
+                 custom_executors: dict | None = None, batch_fuse: bool = True):
         with open(os.path.join(task_dir, 'mega_ag.json')) as f:
             self.mag = json.load(f)
         with open(os.path.join(task_dir, 'task_signature.json')) as f:
@@ -96,6 +96,7 @@ class FheTaskTpu:
         # user executors for custom compute nodes, keyed by node type
         # (reference: bind_*_task_custom_executors, wrapper.h:31-105)
         self.custom_executors = custom_executors or {}
+        self.batch_fuse = batch_fuse
         self.params = params_from_task_json(self.mag['parameter'])
         self.algo = self.mag['algorithm']
         self.engine = (BfvEngine if self.algo == 'BFV' else CkksEngine)(self.params)
@@ -112,20 +113,96 @@ class FheTaskTpu:
     # ------------------------------------------------------------------
     def _build_plan(self):
         computes = {int(k): v for k, v in self.mag['compute'].items()}
-        # topo order over compute nodes (Kahn on data availability)
+        # topo order over compute nodes (Kahn on data availability); the
+        # ready waves double as layers for the iso-op batching pass
         available = set(self.inputs)
         pending = dict(computes)
-        order = []
+        order, layers = [], []
         while pending:
             ready = [idx for idx, c in pending.items()
                      if all(i in available for i in c['inputs'])]
             if not ready:
                 raise ValueError('mega_ag graph contains a cycle or missing input')
+            wave = []
             for idx in sorted(ready):
-                order.append(pending.pop(idx))
+                c = pending.pop(idx)
+                order.append(c)
+                wave.append(c)
                 for o in computes[idx]['outputs']:
                     available.add(o)
-        self.plan = [self._bind_executor(c) for c in order]
+            layers.append(wave)
+        if self.batch_fuse and self.mode == 'jit':
+            self.plan = self._build_batched_plan(layers)
+        else:
+            self.plan = [self._bind_executor(c) for c in order]
+
+    # ------------------------------------------------------------------
+    # Iso-op batching: reference graphs carry many structurally identical
+    # parallel ops (e.g. benchmark_cpu's 1024 mult_relins; the reference
+    # extracts parallelism with a thread pool, cpu_task_utils.h:378). Here
+    # identical ops within a topo wave fuse into ONE vmapped executor:
+    # traces shrink by the group size and the device runs batched kernels.
+    # ------------------------------------------------------------------
+    def _node_sig(self, i: int):
+        nd = self.data[i]
+        return (nd.type, nd.level, nd.degree, nd.is_ntt, nd.is_mform,
+                nd.sp_level, nd.galois_element, nd.is_compressed,
+                nd.sp_decomped)
+
+    def _compute_sig(self, c: dict):
+        static = {k: v for k, v in c.items()
+                  if k not in ('id', 'inputs', 'outputs')}
+        return (json.dumps(static, sort_keys=True),
+                tuple(self._node_sig(i) for i in c['inputs']))
+
+    def _build_batched_plan(self, layers):
+        plan = []
+        for wave in layers:
+            groups: dict = {}
+            for c in wave:
+                groups.setdefault(self._compute_sig(c), []).append(c)
+            for members in groups.values():
+                if len(members) == 1 or members[0].get('is_custom') \
+                        or members[0]['type'] == 'bootstrap':
+                    plan += [self._bind_executor(c) for c in members]
+                else:
+                    plan.append(self._bind_group_executor(members))
+        return plan
+
+    def _bind_group_executor(self, members):
+        import jax
+
+        template = members[0]
+        run_one = self._bind_executor(template)
+        in_tmpl = list(template['inputs'])
+        data_pos = [k for k, i in enumerate(in_tmpl)
+                    if self.data[i].type not in _KEY_TYPES]
+        out_tmpl = template['outputs'][0]
+        member_ins = [[c['inputs'][k] for k in data_pos] for c in members]
+        member_outs = [c['outputs'][0] for c in members]
+
+        def single(vals, keys, xp):
+            env = {}
+            for k, v in zip(data_pos, vals):
+                env[in_tmpl[k]] = v
+            run_one(env, xp, keys)
+            return env[out_tmpl]
+
+        def run(env, xp, keys):
+            try:
+                stacked = [jax.tree.map(lambda *xs: xp.stack(xs),
+                                        *[env[i] for i in ins])
+                           for ins in zip(*member_ins)]
+                out = jax.vmap(lambda v, k: single(v, k, xp),
+                               in_axes=(0, None))(stacked, keys)
+            except Exception:
+                # heterogeneous aux metadata (e.g. CKKS scales): run unbatched
+                for c in members:
+                    self._bind_executor(c)(env, xp, keys)
+                return
+            for k, o in enumerate(member_outs):
+                env[o] = jax.tree.map(lambda x: x[k], out)
+        return run
 
     def _classify_inputs(self, c: dict):
         """Split compute inputs into (cts, ct3s, pts, key_nodes) preserving

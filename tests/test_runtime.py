@@ -317,3 +317,39 @@ def test_compressed_plaintext_mac(bfv_setup, tmp_path, mode):
     for m, b in zip(ms, blocks):
         expected = oracles.vec_mod_add(expected, oracles.vec_mod_mul(m, b, T), T)
     np.testing.assert_array_equal(context.decrypt_decode(outputs['z']), expected)
+
+
+def test_iso_op_batching(bfv_setup, tmp_path):
+    """benchmark_cpu-style graph: many identical parallel ops fuse into one
+    vmapped executor (plan shrinks), results identical to eager."""
+    fe_param, context = bfv_setup
+    n_op = 8
+
+    def build():
+        ins, outs = [], []
+        for k in range(n_op):
+            x = ct.BfvCiphertextNode(f'x{k}', 2)
+            y = ct.BfvCiphertextNode(f'y{k}', 2)
+            outs.append(ct.mult_relin(x, y, f'z{k}'))
+            ins += [x, y]
+        return ([ct.Argument(n.id, n) for n in ins],
+                [ct.Argument(f'z{k}', o) for k, o in enumerate(outs)])
+
+    task_dir = gen_task(fe_param, build, tmp_path)
+    fused = FheTaskTpu(task_dir, mode='jit', batch_fuse=True)
+    assert len(fused.plan) == 2, 'mult wave + relin wave should fuse to 2 steps'
+    plain = FheTaskTpu(task_dir, mode='eager')
+
+    rng = np.random.default_rng(13)
+    ms = rng.integers(0, T, (2 * n_op, N), dtype=np.uint64)
+    values = {}
+    for k in range(n_op):
+        values[f'x{k}'] = context.encrypt(context.encode(ms[2 * k], 2))
+        values[f'y{k}'] = context.encrypt(context.encode(ms[2 * k + 1], 2))
+    out_f, _ = fused.run(context, values)
+    out_p, _ = plain.run(context, values)
+    for k in range(n_op):
+        np.testing.assert_array_equal(out_f[f'z{k}'].data, out_p[f'z{k}'].data)
+        expected = (ms[2 * k].astype(object) * ms[2 * k + 1] % T).astype(np.uint64)
+        np.testing.assert_array_equal(context.decrypt_decode(out_f[f'z{k}']),
+                                      expected)
