@@ -95,17 +95,35 @@ def from_mont(xp, a, p, pinv):
     return redc(xp, zero, a, p, pinv)
 
 
-def modsum_tree(xp, x, p, axis: int):
-    """Modular sum over ``axis`` by pairwise addmod halving (log2 steps).
+def modsum_tree(xp, x, p, axis: int, seq_threshold: int = 64):
+    """Modular sum over ``axis``; entries must be in [0, p), ``p``
+    broadcastable against the reduced shape. Result is canonical mod p and
+    independent of summation order (modular addition is exactly
+    associative), so the strategy is purely a performance choice:
 
-    Entries must be in [0, p); ``p`` broadcastable against the reduced
-    shape. Vectorized alternative to per-element accumulation loops — keeps
-    the traced op count at O(log L) instead of O(L) and exposes full-width
-    VPU work per step.
+    - short axes (≲64, every RNS limb/digit axis): an unrolled sequential
+      fold — a pure elementwise chain over slices that XLA fuses into one
+      kernel without materializing the full terms tensor (the padded
+      halving variant forces a copy of the whole (…, L, n) intermediate);
+    - long axes: pairwise halving to keep the traced op count logarithmic.
     """
     if axis < 0:
         axis += x.ndim
     size = x.shape[axis]
+    if size <= seq_threshold:
+        # slicing removes the reduced axis — drop p's placeholder dim too
+        rel = x.ndim - axis
+        if p.ndim >= rel:
+            pa = p.ndim - rel
+            assert p.shape[pa] == 1
+            p = p.reshape(p.shape[:pa] + p.shape[pa + 1:])
+        ix = [slice(None)] * x.ndim
+        ix[axis] = 0
+        acc = x[tuple(ix)]
+        for k in range(1, size):
+            ix[axis] = k
+            acc = addmod(xp, acc, x[tuple(ix)], p)
+        return acc
     # pad to a power of two with zeros
     pow2 = 1 << (size - 1).bit_length()
     if pow2 != size:

@@ -353,3 +353,26 @@ def test_iso_op_batching(bfv_setup, tmp_path):
         expected = (ms[2 * k].astype(object) * ms[2 * k + 1] % T).astype(np.uint64)
         np.testing.assert_array_equal(context.decrypt_decode(out_f[f'z{k}']),
                                       expected)
+
+
+@pytest.mark.parametrize('mode', ['eager', 'jit'])
+def test_domain_conversion_ops(bfv_setup, tmp_path, mode):
+    """to_ntt / to_inv_ntt / to_mform / to_mul execution (the reference's
+    FPGA-format op set; NTT-form round trip must be the identity)."""
+    fe_param, context = bfv_setup
+
+    def build():
+        x = ct.BfvCiphertextNode('x', 1)
+        a = ct.to_inv_ntt(ct.to_ntt(x), 'a')            # identity
+        d = ct.to_mul(x, 'd')                           # NTT + Montgomery
+        return [ct.Argument('x', x)], [ct.Argument('a', a), ct.Argument('d', d)]
+
+    task = FheTaskTpu(gen_task(fe_param, build, tmp_path), mode=mode)
+    rng = np.random.default_rng(14)
+    m = rng.integers(0, T, N, dtype=np.uint64)
+    ea = context.encrypt(context.encode(m, 1))
+    outputs, _ = task.run(context, {'x': ea})
+    np.testing.assert_array_equal(outputs['a'].data, ea.data)
+    ref = context.engine.to_mul(np, ea)
+    np.testing.assert_array_equal(outputs['d'].data, ref.data)
+    assert outputs['d'].is_ntt and outputs['d'].is_mform
