@@ -189,11 +189,14 @@ class FheContext:
     def rotate_cols(self, ct, steps: int):
         """NAF-composite rotation (reference rotate_cols semantics:
         decompose steps into ±2^k sub-rotations, frontend get_glk_col)."""
-        from ..frontend.custom_task import naf_decompose
+        from ..frontend.custom_task import get_glk_col
         n = self.params.n
+        pos, negs = get_glk_col(steps, n)
         out = ct
-        for s in naf_decompose(steps):
-            out = self._rotate_unit(out, s)
+        for ss in [2 ** i for i in pos] + [-(2 ** i) for i in negs]:
+            if abs(ss) % (n // 2) == 0:
+                continue
+            out = self._rotate_unit(out, ss)
         return out
 
     def advanced_rotate_cols(self, ct, steps):

@@ -237,7 +237,14 @@ class BfvEngine:
         return self.decode(self.decrypt(sk, ct))
 
     # ---- eval ops (xp-parametric; arrays only) ----
+    @staticmethod
+    def _check_levels(a, b, op: str):
+        if isinstance(b, Ciphertext) and a.level != b.level:
+            raise ValueError(f'ciphertext level mismatch in {op}: '
+                             f'{a.level} vs {b.level}')
+
     def add(self, xp, a: Ciphertext, b) -> Ciphertext:
+        self._check_levels(a, b, 'add')
         ring = self.ring(a.level)
         if isinstance(b, Ciphertext):
             data = _u.addmod(xp, a.data, b.data, ring.q)
@@ -254,6 +261,7 @@ class BfvEngine:
         return Ciphertext(data=data, level=a.level, is_ntt=a.is_ntt)
 
     def sub(self, xp, a: Ciphertext, b) -> Ciphertext:
+        self._check_levels(a, b, 'sub')
         ring = self.ring(a.level)
         if isinstance(b, Ciphertext):
             data = _u.submod(xp, a.data, b.data, ring.q)
@@ -274,6 +282,7 @@ class BfvEngine:
         return Ciphertext(data=_u.negmod(xp, a.data, ring.q), level=a.level, is_ntt=a.is_ntt)
 
     def mult(self, xp, a: Ciphertext, b) -> Ciphertext:
+        self._check_levels(a, b, 'mult')
         """ct⊗ct → ct3; ct×pt per plaintext format."""
         level = a.level
         ring = self.ring(level)

@@ -152,7 +152,14 @@ class CkksEngine:
         if abs(a.scale - b.scale) > 1e-6 * max(a.scale, b.scale):
             raise ValueError(f'scale mismatch: {a.scale} vs {b.scale}')
 
+    @staticmethod
+    def _check_levels(a, b, op: str):
+        if isinstance(b, Ciphertext) and a.level != b.level:
+            raise ValueError(f'ciphertext level mismatch in {op}: '
+                             f'{a.level} vs {b.level}')
+
     def add(self, xp, a: Ciphertext, b) -> Ciphertext:
+        self._check_levels(a, b, 'add')
         ring = self.ring(a.level)
         if isinstance(b, Ciphertext):
             self._check_scales(a, b)
@@ -171,6 +178,7 @@ class CkksEngine:
         return Ciphertext(data=data, level=a.level, is_ntt=True, scale=a.scale)
 
     def sub(self, xp, a: Ciphertext, b) -> Ciphertext:
+        self._check_levels(a, b, 'sub')
         ring = self.ring(a.level)
         if isinstance(b, Ciphertext):
             self._check_scales(a, b)
@@ -204,6 +212,7 @@ class CkksEngine:
         return ntt_mod.ntt(xp, lifted, ring)
 
     def mult(self, xp, a: Ciphertext, b) -> Ciphertext:
+        self._check_levels(a, b, 'mult')
         level = a.level
         ring = self.ring(level)
         if isinstance(b, Ciphertext):

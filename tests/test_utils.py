@@ -69,3 +69,40 @@ def test_task_progress_callback(tmp_path):
     task.run(context, {'x': context.encrypt(context.encode(m, 1))},
              progress_cb=lambda done, total: calls.append((done, total)))
     assert calls[-1] == (len(task.plan), len(task.plan))
+
+
+def test_eval_op_error_paths():
+    """Descriptive errors on invalid eager ops (reference REQUIRE_THROWS
+    coverage, test_lattigo.cpp:2049-2119)."""
+    import pytest
+    from lattisense_tpu.core.modring import gen_ntt_primes
+    from lattisense_tpu.params import BfvParams, CkksParams
+    from lattisense_tpu.runtime import BfvContext, CkksContext
+
+    n = 64
+    q = gen_ntt_primes(n, 50, 3)
+    p = gen_ntt_primes(n, 51, 1, exclude=tuple(q))
+    ctx = BfvContext.create_random_context(BfvParams.create_custom(n, 65537, q, p),
+                                           seed=5)
+    m = np.arange(n, dtype=np.uint64)
+    a = ctx.encrypt(ctx.encode(m, 2))
+    b = ctx.encrypt(ctx.encode(m, 1))
+    with pytest.raises(ValueError, match='level mismatch in add: 2 vs 1'):
+        ctx.add(a, b)
+    with pytest.raises(ValueError, match='level mismatch in mult'):
+        ctx.mult(a, b)
+    with pytest.raises(RuntimeError, match='missing Galois key'):
+        ctx.rotate_cols(a, 5)
+    pub = ctx.make_public_context()
+    with pytest.raises(RuntimeError, match='cannot decrypt'):
+        pub.decrypt(a)
+
+    big = gen_ntt_primes(n, 60, 2)
+    mids = gen_ntt_primes(n, 40, 2)
+    cctx = CkksContext.create_random_context(
+        CkksParams.create_custom(n, [big[0]] + mids, [big[1]], scale=float(1 << 40)),
+        seed=6)
+    x = cctx.encrypt(cctx.encode(np.ones(n // 2), 2))
+    y = cctx.encrypt(cctx.encode(np.ones(n // 2), 2, scale=float(1 << 41)))
+    with pytest.raises(ValueError, match='scale mismatch'):
+        cctx.add(x, y)
