@@ -16,13 +16,25 @@ import numpy as np
 
 
 def timeit(fn, *args, iters=10):
+    """Chained-independent timing with a real output fetch: on remote-tunnel
+    backends block_until_ready does not await execution, so the slope
+    between k and 2k iterations (each ended by a tiny fetch) is used."""
     import jax
-    out = jax.block_until_ready(fn(*args))        # compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    import numpy as _np
+    out = fn(*args)
+    _np.asarray(jax.tree.leaves(out)[0].ravel()[:2])    # compile + sync
+
+    def run(k):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(k):
+            o = fn(*args)
+        _np.asarray(jax.tree.leaves(o)[0].ravel()[:2])
+        return time.perf_counter() - t0
+
+    run(2)
+    t1, t2 = run(iters), run(2 * iters)
+    return (t2 - t1) / iters
 
 
 def main():
