@@ -97,6 +97,7 @@ class FheTaskTpu:
         # (reference: bind_*_task_custom_executors, wrapper.h:31-105)
         self.custom_executors = custom_executors or {}
         self.batch_fuse = batch_fuse
+        self._offline: dict = {}
         self.params = params_from_task_json(self.mag['parameter'])
         self.algo = self.mag['algorithm']
         self.engine = (BfvEngine if self.algo == 'BFV' else CkksEngine)(self.params)
@@ -450,6 +451,20 @@ class FheTaskTpu:
                 tree['swk'][node.id] = (k.key_q, k.key_p)
         return tree
 
+    def preload(self, context, offline_values: dict):
+        """Stage the offline-input phase once (reference offline_inputs:
+        constant data preloaded before many online runs,
+        frontend/custom_task.py:2190-2205). Subsequent run() calls only
+        need the online arguments; offline arrays are device-resident."""
+        for row in self.signature.get('offline', []):
+            if row['id'] not in offline_values:
+                raise RuntimeError(f"Missing input argument \"{row['id']}\".")
+            check_sig.check_with_sig(row['id'], offline_values[row['id']], row)
+        self._offline = dict(offline_values)
+        if self.mode == 'jit':
+            import jax
+            self._offline = jax.tree.map(jax.device_put, self._offline)
+
     def check(self, context, input_values: dict):
         check_sig.check_signatures(context, self.signature, input_values,
                                    [r for r in self.signature['online']
@@ -465,6 +480,8 @@ class FheTaskTpu:
         (cpu_task_utils.h:414): per-op granularity in eager mode; the jit
         path executes as one fused XLA program, so it reports 0 → total.
         """
+        if self._offline:
+            input_values = {**self._offline, **input_values}
         self.check(context, input_values)
         # bootstrap precompute lives on the user's context engine
         btp = getattr(context.engine, 'bootstrapper', None)

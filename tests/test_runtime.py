@@ -376,3 +376,37 @@ def test_domain_conversion_ops(bfv_setup, tmp_path, mode):
     ref = context.engine.to_mul(np, ea)
     np.testing.assert_array_equal(outputs['d'].data, ref.data)
     assert outputs['d'].is_ntt and outputs['d'].is_mform
+
+
+@pytest.mark.parametrize('mode', ['eager', 'jit'])
+def test_offline_input_phase(bfv_setup, tmp_path, mode):
+    """Offline inputs preloaded once serve many online runs (reference
+    offline_inputs phase, frontend/custom_task.py:2190)."""
+    fe_param, context = bfv_setup
+
+    def build():
+        x = ct.BfvCiphertextNode('x', 1)
+        w = ct.BfvPlaintextMulNode('w', 1)
+        z = ct.mult(x, w, 'z')
+        return ([ct.Argument('x', x)], [ct.Argument('z', z)],
+                [ct.Argument('w', w)])
+
+    fct_ns = ct
+    fct_ns.set_fhe_param(fe_param)
+    ins, outs, off = build()
+    fct_ns.process_custom_task(input_args=ins, output_args=outs,
+                               offline_input_args=off,
+                               output_instruction_path=str(tmp_path))
+    task = FheTaskTpu(str(tmp_path), mode=mode)
+    rng = np.random.default_rng(15)
+    wv = rng.integers(0, T, N, dtype=np.uint64)
+    task.preload(context, {'w': context.encode_mul(wv, 1)})
+    for _ in range(2):
+        m = rng.integers(0, T, N, dtype=np.uint64)
+        outputs, _ = task.run(context, {'x': context.encrypt(context.encode(m, 1))})
+        np.testing.assert_array_equal(context.decrypt_decode(outputs['z']),
+                                      oracles.vec_mod_mul(m, wv, T))
+    # missing offline arg without preload is a hard error
+    t2 = FheTaskTpu(str(tmp_path), mode='eager')
+    with pytest.raises(RuntimeError, match='Missing input argument "w"'):
+        t2.run(context, {'x': context.encrypt(context.encode(wv, 1))})
