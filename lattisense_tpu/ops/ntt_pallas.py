@@ -1,0 +1,330 @@
+"""Fused Pallas NTT: all log2(n) butterfly stages inside one kernel.
+
+Why: under XLA, each butterfly stage's stack/reshape materializes to HBM —
+the measured cost is ~50× the single-pass roofline (benchmarks/micro.py
+with fetch-forced timing). This kernel keeps the whole transform in VMEM:
+one read, one write per row.
+
+TPU constraints shape the design:
+
+- Mosaic rejects u64 at the pallas_call boundary (XLA's X64 rewrite), so
+  values cross as u32 (hi, lo) planes and all 64-bit modular arithmetic is
+  built from native u32 ops (16-bit-digit widening products).
+- Lanes must stay ≥128 wide: stages with butterfly distance t ≥ 128 act on
+  a (m, 2, t) view (lane axis = t). For t < 128, the row is viewed as a
+  (n/128, 128) tile and transposed so the small distances become sublane
+  strides with the lane axis fixed at 128; the twiddles for those stages
+  are pre-permuted into the transposed layout on the host. The kernel's
+  output therefore comes back in "tile-transposed bit-reversed" order —
+  `ntt_fused` undoes the transpose outside so the result is bit-identical
+  to core/ntt.ntt.
+
+Grid: one program per (limb, row-block); per-limb constant tables are
+selected by the grid index.
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+U32 = jnp.uint32
+MASK16 = 0xFFFF  # plain int: jnp constants cannot be captured by kernels
+
+
+# ---------------------------------------------------------------------------
+# u64 arithmetic on u32 (hi, lo) pairs — exact, Mosaic-friendly
+# ---------------------------------------------------------------------------
+
+def _mul32(a, b):
+    """Full 32×32→64 product as (hi, lo) u32 via 16-bit digits."""
+    a0 = a & MASK16
+    a1 = a >> 16
+    b0 = b & MASK16
+    b1 = b >> 16
+    ll = a0 * b0
+    lh = a0 * b1
+    hl = a1 * b0
+    hh = a1 * b1
+    t = (ll >> 16) + (lh & MASK16) + (hl & MASK16)
+    lo = (ll & MASK16) | (t << 16)
+    hi = hh + (lh >> 16) + (hl >> 16) + (t >> 16)
+    return hi, lo
+
+
+def _add64(ah, al, bh, bl):
+    lo = al + bl
+    carry = (lo < al).astype(U32)
+    return ah + bh + carry, lo
+
+
+def _sub64(ah, al, bh, bl):
+    lo = al - bl
+    borrow = (al < bl).astype(U32)
+    return ah - bh - borrow, lo
+
+
+def _geq64(ah, al, bh, bl):
+    return (ah > bh) | ((ah == bh) & (al >= bl))
+
+
+def _addmod64(ah, al, bh, bl, qh, ql):
+    sh, sl = _add64(ah, al, bh, bl)
+    oh, ol = _sub64(sh, sl, qh, ql)
+    ge = _geq64(sh, sl, qh, ql)
+    return jnp.where(ge, oh, sh), jnp.where(ge, ol, sl)
+
+
+def _submod64(ah, al, bh, bl, qh, ql):
+    dh, dl = _sub64(ah, al, bh, bl)
+    ch, cl = _add64(dh, dl, qh, ql)
+    lt = ~_geq64(ah, al, bh, bl)
+    return jnp.where(lt, ch, dh), jnp.where(lt, cl, dl)
+
+
+def _mulhi64(ah, al, bh, bl):
+    """Top 64 bits of the 128-bit product, as (hi, lo) u32."""
+    h_ll, l_ll = _mul32(al, bl)          # noqa: F841  (l_ll only feeds carries)
+    h_lh, l_lh = _mul32(al, bh)
+    h_hl, l_hl = _mul32(ah, bl)
+    h_hh, l_hh = _mul32(ah, bh)
+    # r1 = h_ll + l_lh + l_hl  (carry1 ∈ {0,1,2})
+    s = h_ll + l_lh
+    c1 = (s < h_ll).astype(U32)
+    r1 = s + l_hl
+    c1 = c1 + (r1 < s).astype(U32)
+    # r2 = h_lh + h_hl + l_hh + c1
+    s = h_lh + h_hl
+    c2 = (s < h_lh).astype(U32)
+    s2 = s + l_hh
+    c2 = c2 + (s2 < s).astype(U32)
+    r2 = s2 + c1
+    c2 = c2 + (r2 < s2).astype(U32)
+    r3 = h_hh + c2
+    return r3, r2
+
+
+def _mullo64(ah, al, bh, bl):
+    """Low 64 bits of the product as (hi, lo) u32."""
+    h_ll, l_ll = _mul32(al, bl)
+    r1 = h_ll + al * bh + ah * bl
+    return r1, l_ll
+
+
+def _shoup_mul64(ah, al, wh, wl, sh, sl, qh, ql):
+    """a·w mod q with Shoup companion s = floor(w<<64/q); a, w < q < 2^63."""
+    eh, el = _mulhi64(ah, al, sh, sl)            # q̂ estimate
+    p1h, p1l = _mullo64(ah, al, wh, wl)          # a·w mod 2^64
+    p2h, p2l = _mullo64(eh, el, qh, ql)          # q̂·q mod 2^64
+    rh, rl = _sub64(p1h, p1l, p2h, p2l)
+    oh, ol = _sub64(rh, rl, qh, ql)
+    ge = _geq64(rh, rl, qh, ql)
+    return jnp.where(ge, oh, rh), jnp.where(ge, ol, rl)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _ntt_kernel(logn, rows, q_ref, xh_ref, xl_ref, twh_ref, twl_ref,
+                tsh_ref, tsl_ref, lth_ref, ltl_ref, lsh_ref, lsl_ref,
+                oh_ref, ol_ref):
+    n = 1 << logn
+    sub = n // LANES                         # tile rows (a axis)
+    limb = pl.program_id(0)
+    qh = q_ref[limb, 0]
+    ql = q_ref[limb, 1]
+    vh = xh_ref[...]                         # (rows, n)
+    vl = xl_ref[...]
+
+    # phase 1: butterfly distance t >= LANES (lane axis = t slices)
+    m = 1
+    t = n
+    while t > LANES:
+        t //= 2
+        sh4 = (rows, m, 2, t)
+        ph = vh.reshape(sh4)
+        plv = vl.reshape(sh4)
+        wh = twh_ref[0, 0, m:2 * m].reshape(1, m, 1)
+        wl = twl_ref[0, 0, m:2 * m].reshape(1, m, 1)
+        swh = tsh_ref[0, 0, m:2 * m].reshape(1, m, 1)
+        swl = tsl_ref[0, 0, m:2 * m].reshape(1, m, 1)
+        bh, bl = _shoup_mul64(ph[:, :, 1], plv[:, :, 1], wh, wl, swh, swl,
+                              qh, ql)
+        uh, ul = ph[:, :, 0], plv[:, :, 0]
+        s_h, s_l = _addmod64(uh, ul, bh, bl, qh, ql)
+        d_h, d_l = _submod64(uh, ul, bh, bl, qh, ql)
+        vh = jnp.stack([s_h, d_h], axis=2).reshape(rows, n)
+        vl = jnp.stack([s_l, d_l], axis=2).reshape(rows, n)
+        m *= 2
+
+    # transpose (rows, sub, LANES) -> (rows, LANES, sub): distances < LANES
+    # become sublane strides; lanes stay at `sub` (= n/128 >= 128 for n>=2^14)
+    vh = vh.reshape(rows, sub, LANES).swapaxes(1, 2)
+    vl = vl.reshape(rows, sub, LANES).swapaxes(1, 2)
+
+    # phase 2: remaining stages over the (former) lane axis, twiddles
+    # pre-permuted on the host into the transposed layout
+    off = 0
+    mb = 1                                   # butterfly groups within LANES
+    tb = LANES
+    while tb > 1:
+        tb //= 2
+        sh5 = (rows, mb, 2, tb, sub)
+        ph = vh.reshape(sh5)
+        plv = vl.reshape(sh5)
+        cnt = mb * sub
+        wh = lth_ref[0, 0, off:off + cnt].reshape(1, mb, 1, sub)
+        wl = ltl_ref[0, 0, off:off + cnt].reshape(1, mb, 1, sub)
+        swh = lsh_ref[0, 0, off:off + cnt].reshape(1, mb, 1, sub)
+        swl = lsl_ref[0, 0, off:off + cnt].reshape(1, mb, 1, sub)
+        bh, bl = _shoup_mul64(ph[:, :, 1], plv[:, :, 1], wh, wl, swh, swl,
+                              qh, ql)
+        uh, ul = ph[:, :, 0], plv[:, :, 0]
+        s_h, s_l = _addmod64(uh, ul, bh, bl, qh, ql)
+        d_h, d_l = _submod64(uh, ul, bh, bl, qh, ql)
+        vh = jnp.stack([s_h, d_h], axis=2).reshape(rows, LANES, sub)
+        vl = jnp.stack([s_l, d_l], axis=2).reshape(rows, LANES, sub)
+        off += cnt
+        mb *= 2
+
+    oh_ref[...] = vh.reshape(rows, n)
+    ol_ref[...] = vl.reshape(rows, n)
+
+
+# ---------------------------------------------------------------------------
+# host-side table preparation
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _tables(ring_key):
+    ring, = _RING_STASH[ring_key]
+    n = ring.n
+    L = len(ring.moduli)
+    sub = n // LANES
+    logn = n.bit_length() - 1
+
+    def split(a):
+        a = np.ascontiguousarray(a, dtype=np.uint64)
+        return ((a >> np.uint64(32)).astype(np.uint32),
+                (a & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+
+    twh, twl = split(ring.psi_rev)           # (L, n)
+    tsh, tsl = split(ring.psi_rev_shoup)
+
+    # late-stage twiddles, permuted into the transposed tile layout:
+    # for stage distance t < LANES with m = n/(2t) groups, group index of
+    # original element j = a*LANES + b is g = a*(LANES//(2t)) + (b>>log2(2t));
+    # in the (b', a) layout the needed array is [gb, a] -> tbl[m + g].
+    lt_list, ls_list = [], []
+    t = LANES
+    while t > 1:
+        t //= 2
+        m = n // (2 * t)
+        mb = LANES // (2 * t)
+        a_idx = np.arange(sub)
+        gb_idx = np.arange(mb)
+        g = a_idx[None, :] * mb + gb_idx[:, None]       # (mb, sub)
+        lt_list.append(ring.psi_rev[:, m:].reshape(L, -1)[:, :m][:, g.reshape(-1)]
+                       if False else ring.psi_rev[:, m + g.reshape(-1)])
+        ls_list.append(ring.psi_rev_shoup[:, m + g.reshape(-1)])
+    lt = np.concatenate(lt_list, axis=1)     # (L, sum(mb*sub)) = (L, <n)
+    ls = np.concatenate(ls_list, axis=1)
+    lth, ltl = split(lt)
+    lsh, lsl = split(ls)
+
+    q = np.stack([(np.asarray(ring.q).reshape(-1) >> np.uint64(32)).astype(np.uint32),
+                  (np.asarray(ring.q).reshape(-1) & np.uint64(0xFFFFFFFF)).astype(np.uint32)],
+                 axis=1)                      # (L, 2)
+    return (logn, L, sub, twh, twl, tsh, tsl, lth, ltl, lsh, lsl, q)
+
+
+_RING_STASH: dict = {}
+
+
+def _stash(ring):
+    key = (tuple(ring.moduli), ring.n)
+    _RING_STASH[key] = (ring,)
+    return key
+
+
+@functools.partial(jax.jit, static_argnames=('logn', 'L', 'rows_per_block'))
+def _launch(xh, xl, twh, twl, tsh, tsl, lth, ltl, lsh, lsl, q, *,
+            logn, L, rows_per_block):
+    n = 1 << logn
+    total_rows = xh.shape[0] // L            # per limb
+    grid = (L, total_rows // rows_per_block)
+    R = rows_per_block
+    lt_n = lth.shape[-1]
+    twh, twl, tsh, tsl = (a.reshape(L, 1, n) for a in (twh, twl, tsh, tsl))
+    lth, ltl, lsh, lsl = (a.reshape(L, 1, lt_n) for a in (lth, ltl, lsh, lsl))
+
+    kernel = functools.partial(_ntt_kernel, logn, R)
+    out_h, out_l = pl.pallas_call(
+        kernel,
+        interpret=jax.default_backend() == 'cpu',
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((L, 2), lambda l, r: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, n), lambda l, r: (l * total_rows // R + r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, n), lambda l, r: (l * total_rows // R + r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda l, r: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda l, r: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda l, r: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda l, r: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lt_n), lambda l, r: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lt_n), lambda l, r: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lt_n), lambda l, r: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, lt_n), lambda l, r: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, n), lambda l, r: (l * total_rows // R + r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, n), lambda l, r: (l * total_rows // R + r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct(xh.shape, jnp.uint32)] * 2,
+    )(q, xh, xl, twh, twl, tsh, tsl, lth, ltl, lsh, lsl)
+    return out_h, out_l
+
+
+def ntt_fused(x, ring, rows_per_block: int = 8):
+    """Drop-in forward NTT over (..., L, n) u64, bit-identical to
+    core.ntt.ntt. Rows are regrouped limb-major for per-limb tables."""
+    key = _stash(ring)
+    (logn, L, sub, twh, twl, tsh, tsl, lth, ltl, lsh, lsl, q) = _tables(key)
+    n = 1 << logn
+    shape = x.shape
+    batch = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    # (..., L, n) -> (L, batch, n) rows grouped by limb
+    xr = jnp.moveaxis(x.reshape(batch, L, n), 1, 0).reshape(L * batch, n)
+    pad_rows = (-batch) % rows_per_block
+    if pad_rows:
+        xr = xr.reshape(L, batch, n)
+        xr = jnp.pad(xr, ((0, 0), (0, pad_rows), (0, 0))).reshape(-1, n)
+        batch_p = batch + pad_rows
+    else:
+        batch_p = batch
+    xh = (xr >> jnp.uint64(32)).astype(jnp.uint32)
+    xl = (xr & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    oh, ol = _launch(xh, xl, jnp.asarray(twh), jnp.asarray(twl),
+                     jnp.asarray(tsh), jnp.asarray(tsl), jnp.asarray(lth),
+                     jnp.asarray(ltl), jnp.asarray(lsh), jnp.asarray(lsl),
+                     jnp.asarray(q), logn=logn, L=L,
+                     rows_per_block=rows_per_block)
+    out = oh.astype(jnp.uint64) << jnp.uint64(32) | ol.astype(jnp.uint64)
+    # undo the kernel's tile transpose: (rows, LANES, sub) -> (rows, sub, LANES)
+    out = out.reshape(-1, LANES, sub).swapaxes(1, 2).reshape(-1, n)
+    out = out.reshape(L, batch_p, n)[:, :batch]
+    return jnp.moveaxis(out, 0, 1).reshape(shape)

@@ -1,0 +1,49 @@
+"""Fused Pallas NTT vs the reference implementation (interpret mode on the
+CPU mesh; bit-exactness of the u32-pair arithmetic and the two-phase
+transposed layout)."""
+
+import numpy as np
+import pytest
+
+import lattisense_tpu  # noqa: F401
+import jax.numpy as jnp
+
+from lattisense_tpu.core import ntt as ntt_mod
+from lattisense_tpu.core.modring import gen_ntt_primes, get_rns_ring
+from lattisense_tpu.ops.ntt_pallas import ntt_fused
+
+
+def test_fused_ntt_bitexact():
+    n, L, B = 16384, 2, 1
+    q = gen_ntt_primes(n, 55, L)
+    ring = get_rns_ring(tuple(q), n)
+    rng = np.random.default_rng(0)
+    x = np.stack([np.stack([rng.integers(0, qi, n, dtype=np.uint64) for qi in q])
+                  for _ in range(B)])
+    ref = ntt_mod.ntt(np, x, ring)
+    got = np.asarray(ntt_fused(jnp.asarray(x), ring))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_u32_pair_primitives():
+    """The in-kernel 64-bit building blocks vs native u64 arithmetic."""
+    from lattisense_tpu.ops import ntt_pallas as K
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 1 << 63, 1000, dtype=np.uint64)
+    b = rng.integers(0, 1 << 63, 1000, dtype=np.uint64)
+
+    def split(v):
+        return ((v >> np.uint64(32)).astype(np.uint32),
+                (v & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+
+    def join(h, l):
+        return h.astype(np.uint64) << np.uint64(32) | l.astype(np.uint64)
+
+    ah, al = split(a)
+    bh, bl = split(b)
+    np.testing.assert_array_equal(join(*K._add64(ah, al, bh, bl)), a + b)
+    np.testing.assert_array_equal(join(*K._sub64(ah, al, bh, bl)), a - b)
+    np.testing.assert_array_equal(join(*K._mullo64(ah, al, bh, bl)), a * b)
+    hi = ((a.astype(object) * b.astype(object)) >> 64).astype(np.uint64)
+    np.testing.assert_array_equal(join(*K._mulhi64(ah, al, bh, bl)), hi)
+    np.testing.assert_array_equal(K._geq64(ah, al, bh, bl), a >= b)
