@@ -160,3 +160,28 @@ def test_default_param_n16384_smoke():
     b = eng.encrypt_asymmetric(rng, pk, eng.encode(w, 3))
     z = eng.rescale(np, eng.relinearize(np, eng.mult(np, a, b), rlk))
     np.testing.assert_allclose(eng.decrypt_decode(sk, z).real, v * w, atol=1e-4)
+
+
+def test_precision_stats_conformance():
+    """CKKS pipeline accepted via PrecisionStats bounds — the reference's
+    acceptance criterion for CKKS (precision.cpp; SURVEY.md §4)."""
+    from lattisense_tpu.core.modring import gen_ntt_primes
+    from lattisense_tpu.params import CkksParams
+    from lattisense_tpu.runtime import CkksContext
+    from lattisense_tpu.utils.precision import get_precision_stats
+
+    n = 64
+    big = gen_ntt_primes(n, 60, 2)
+    mids = gen_ntt_primes(n, 40, 3)
+    ctx = CkksContext.create_random_context(
+        CkksParams.create_custom(n, [big[0]] + mids, [big[1]],
+                                 scale=float(1 << 40)), seed=91)
+    rng = np.random.default_rng(0)
+    va = rng.uniform(-1, 1, n // 2) + 1j * rng.uniform(-1, 1, n // 2)
+    vb = rng.uniform(-1, 1, n // 2) + 1j * rng.uniform(-1, 1, n // 2)
+    a = ctx.encrypt(ctx.encode(va, 2))
+    b = ctx.encrypt(ctx.encode(vb, 2))
+    out = ctx.rescale(ctx.mult_relin(a, b))
+    stats = get_precision_stats(va * vb, ctx.decrypt_decode(out))
+    assert stats.mean_precision.l2 > 18, str(stats)
+    assert stats.min_precision.l2 > 12, str(stats)
