@@ -324,6 +324,16 @@ class FheTaskTpu:
                         out_ntt=out_ntt, out_mform=out_mform)
                 return run
 
+            if self.algo == 'BFV':
+                out_node = self.data[out_idx]
+                o_ntt, o_mf = out_node.is_ntt, out_node.is_mform
+
+                def run(env, xp, keys):
+                    env[out_idx] = eng.apply_galois(xp, ctv(env), elt,
+                                                    keys['glk'][elt],
+                                                    out_ntt=o_ntt, out_mform=o_mf)
+                return run
+
             def run(env, xp, keys):
                 env[out_idx] = eng.apply_galois(xp, ctv(env), elt, keys['glk'][elt])
             return run

@@ -347,13 +347,33 @@ class BfvEngine:
         rs = self.rescaler(ct.level)
         return Ciphertext(data=rs(xp, ct.data), level=ct.level - 1, is_ntt=ct.is_ntt)
 
-    def apply_galois(self, xp, ct: Ciphertext, galois_elt: int, glk) -> Ciphertext:
+    def apply_galois(self, xp, ct: Ciphertext, galois_elt: int, glk,
+                     out_ntt: bool | None = None,
+                     out_mform: bool | None = None) -> Ciphertext:
+        """Rotation on any ciphertext form: NTT/Montgomery inputs (the
+        reference's FPGA-path chained rotations, advanced_rotate_cols with
+        out_ct_type='ct-ntt'/'ct-ntt-mf') are normalized to coeff domain
+        first; the output form defaults to the input form and can be forced
+        (the out_ct_type contract)."""
         level = ct.level
         ring = self.ring(level)
-        c0 = apply_automorphism_coeff(xp, ct.data[0], ring.q, self.n, galois_elt)
-        c1 = apply_automorphism_coeff(xp, ct.data[1], ring.q, self.n, galois_elt)
+        out_ntt = ct.is_ntt if out_ntt is None else out_ntt
+        out_mform = ct.is_mform if out_mform is None else out_mform
+        data = ct.data
+        if ct.is_mform:
+            data = _u.from_mont(xp, data, ring.q, ring.pinv)
+        if ct.is_ntt:
+            data = ntt_mod.intt(xp, data, ring)
+        c0 = apply_automorphism_coeff(xp, data[0], ring.q, self.n, galois_elt)
+        c1 = apply_automorphism_coeff(xp, data[1], ring.q, self.n, galois_elt)
         e0, e1 = self.switcher.switch(xp, c1, glk, level)
-        return Ciphertext(data=xp.stack([_u.addmod(xp, c0, e0, ring.q), e1]), level=level)
+        out = xp.stack([_u.addmod(xp, c0, e0, ring.q), e1])
+        if out_ntt:
+            out = ntt_mod.ntt(xp, out, ring)
+        if out_mform:
+            out = _u.to_mont(xp, out, ring.q, ring.pinv, ring.r2)
+        return Ciphertext(data=out, level=level, is_ntt=out_ntt,
+                          is_mform=out_mform)
 
     # ---- hoisted rotations (reference rns_sp_decomp + advanced rotate on
     # decomposed input, frontend/custom_task.py:1360, SURVEY.md §5) ---------

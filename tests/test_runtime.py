@@ -410,3 +410,36 @@ def test_offline_input_phase(bfv_setup, tmp_path, mode):
     t2 = FheTaskTpu(str(tmp_path), mode='eager')
     with pytest.raises(RuntimeError, match='Missing input argument "w"'):
         t2.run(context, {'x': context.encrypt(context.encode(wv, 1))})
+
+
+@pytest.mark.parametrize('mode', ['eager', 'jit'])
+def test_ntt_form_rotation_chain(bfv_setup, tmp_path, mode):
+    """NTT-form in/out rotation chains (the reference FPGA test matrix:
+    advanced_rotate_cols with out_ct_type='ct-ntt' consumed by further
+    rotations)."""
+    fe_param, context = bfv_setup
+
+    def build():
+        x = ct.BfvCiphertextNode('x', 1)
+        r1 = ct.advanced_rotate_cols(x, [1], out_ct_type='ct-ntt')[0]
+        r2 = ct.advanced_rotate_cols(r1, [2], out_ct_type='ct-ntt-mf')[0]
+        return [ct.Argument('x', x)], [ct.Argument('r', r2)]
+
+    task_dir = gen_task(fe_param, build, tmp_path)
+    from lattisense_tpu.schemes.galois import galois_elt_col
+    context.gen_galois_keys_for_elements([galois_elt_col(1, N), galois_elt_col(2, N)])
+    task = FheTaskTpu(task_dir, mode=mode)
+    rng = np.random.default_rng(16)
+    m = rng.integers(0, T, N, dtype=np.uint64)
+    outputs, _ = task.run(context, {'x': context.encrypt(context.encode(m, 1))})
+    out = outputs['r']
+    assert out.is_ntt and out.is_mform
+    # normalize back (mform -> plain, NTT -> coeff) and check rotation by 3
+    from lattisense_tpu.core import u64 as u64mod
+    from lattisense_tpu.schemes.types import Ciphertext as Ct
+    ring = context.engine.ring(out.level)
+    plain = u64mod.from_mont(np, np.asarray(out.data), ring.q, ring.pinv)
+    norm = context.engine.to_inv_ntt(
+        np, Ct(data=plain, level=out.level, is_ntt=True))
+    np.testing.assert_array_equal(context.decrypt_decode(norm),
+                                  oracles.vec_rotate_col(m, 3))
