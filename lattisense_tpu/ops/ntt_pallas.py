@@ -131,6 +131,75 @@ def _shoup_mul64(ah, al, wh, wl, sh, sl, qh, ql):
 # kernel
 # ---------------------------------------------------------------------------
 
+def _phase1_kernel(logn, rows, q_ref, xh_ref, xl_ref, twh_ref, twl_ref,
+                   tsh_ref, tsl_ref, oh_ref, ol_ref):
+    """Stages with butterfly distance t ≥ LANES only (≤ logn−7 unrolled
+    stages — the Mosaic real-chip lowering recurses too deep past ~10)."""
+    n = 1 << logn
+    limb = pl.program_id(0)
+    qh = q_ref[limb, 0]
+    ql = q_ref[limb, 1]
+    vh = xh_ref[...]
+    vl = xl_ref[...]
+    m = 1
+    t = n
+    while t > LANES:
+        t //= 2
+        sh4 = (rows, m, 2, t)
+        ph = vh.reshape(sh4)
+        plv = vl.reshape(sh4)
+        wh = twh_ref[0, 0, m:2 * m].reshape(1, m, 1)
+        wl = twl_ref[0, 0, m:2 * m].reshape(1, m, 1)
+        swh = tsh_ref[0, 0, m:2 * m].reshape(1, m, 1)
+        swl = tsl_ref[0, 0, m:2 * m].reshape(1, m, 1)
+        bh, bl = _shoup_mul64(ph[:, :, 1], plv[:, :, 1], wh, wl, swh, swl,
+                              qh, ql)
+        uh, ul = ph[:, :, 0], plv[:, :, 0]
+        s_h, s_l = _addmod64(uh, ul, bh, bl, qh, ql)
+        d_h, d_l = _submod64(uh, ul, bh, bl, qh, ql)
+        vh = jnp.stack([s_h, d_h], axis=2).reshape(rows, n)
+        vl = jnp.stack([s_l, d_l], axis=2).reshape(rows, n)
+        m *= 2
+    oh_ref[...] = vh
+    ol_ref[...] = vl
+
+
+def _phase2_kernel(logn, rows, q_ref, xh_ref, xl_ref, lth_ref, ltl_ref,
+                   lsh_ref, lsl_ref, oh_ref, ol_ref):
+    """Tile transpose + the 7 sub-LANES stages."""
+    n = 1 << logn
+    sub = n // LANES
+    limb = pl.program_id(0)
+    qh = q_ref[limb, 0]
+    ql = q_ref[limb, 1]
+    vh = xh_ref[...].reshape(rows, sub, LANES).swapaxes(1, 2)
+    vl = xl_ref[...].reshape(rows, sub, LANES).swapaxes(1, 2)
+    off = 0
+    mb = 1
+    tb = LANES
+    while tb > 1:
+        tb //= 2
+        sh5 = (rows, mb, 2, tb, sub)
+        ph = vh.reshape(sh5)
+        plv = vl.reshape(sh5)
+        cnt = mb * sub
+        wh = lth_ref[0, 0, off:off + cnt].reshape(1, mb, 1, sub)
+        wl = ltl_ref[0, 0, off:off + cnt].reshape(1, mb, 1, sub)
+        swh = lsh_ref[0, 0, off:off + cnt].reshape(1, mb, 1, sub)
+        swl = lsl_ref[0, 0, off:off + cnt].reshape(1, mb, 1, sub)
+        bh, bl = _shoup_mul64(ph[:, :, 1], plv[:, :, 1], wh, wl, swh, swl,
+                              qh, ql)
+        uh, ul = ph[:, :, 0], plv[:, :, 0]
+        s_h, s_l = _addmod64(uh, ul, bh, bl, qh, ql)
+        d_h, d_l = _submod64(uh, ul, bh, bl, qh, ql)
+        vh = jnp.stack([s_h, d_h], axis=2).reshape(rows, LANES, sub)
+        vl = jnp.stack([s_l, d_l], axis=2).reshape(rows, LANES, sub)
+        off += cnt
+        mb *= 2
+    oh_ref[...] = vh.reshape(rows, n)
+    ol_ref[...] = vl.reshape(rows, n)
+
+
 def _ntt_kernel(logn, rows, q_ref, xh_ref, xl_ref, twh_ref, twl_ref,
                 tsh_ref, tsl_ref, lth_ref, ltl_ref, lsh_ref, lsl_ref,
                 oh_ref, ol_ref):
@@ -256,6 +325,9 @@ def _stash(ring):
 @functools.partial(jax.jit, static_argnames=('logn', 'L', 'rows_per_block'))
 def _launch(xh, xl, twh, twl, tsh, tsl, lth, ltl, lsh, lsl, q, *,
             logn, L, rows_per_block):
+    """Two pallas_calls (phase 1 / transpose+phase 2): one extra HBM round
+    trip, but each kernel stays below the stage count where the real-chip
+    Mosaic lowering blows its recursion budget."""
     n = 1 << logn
     total_rows = xh.shape[0] // L            # per limb
     grid = (L, total_rows // rows_per_block)
@@ -263,39 +335,37 @@ def _launch(xh, xl, twh, twl, tsh, tsl, lth, ltl, lsh, lsl, q, *,
     lt_n = lth.shape[-1]
     twh, twl, tsh, tsl = (a.reshape(L, 1, n) for a in (twh, twl, tsh, tsl))
     lth, ltl, lsh, lsl = (a.reshape(L, 1, lt_n) for a in (lth, ltl, lsh, lsl))
+    interp = jax.default_backend() == 'cpu'
 
-    kernel = functools.partial(_ntt_kernel, logn, R)
-    out_h, out_l = pl.pallas_call(
-        kernel,
-        interpret=jax.default_backend() == 'cpu',
+    def row_spec():
+        return pl.BlockSpec((R, n), lambda l, r: (l * total_rows // R + r, 0),
+                            memory_space=pltpu.VMEM)
+
+    def tbl_spec(width):
+        return pl.BlockSpec((1, 1, width), lambda l, r: (l, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    smem_q = pl.BlockSpec((L, 2), lambda l, r: (0, 0), memory_space=pltpu.SMEM)
+
+    mh, ml = pl.pallas_call(
+        functools.partial(_phase1_kernel, logn, R),
+        interpret=interp,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((L, 2), lambda l, r: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((R, n), lambda l, r: (l * total_rows // R + r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, n), lambda l, r: (l * total_rows // R + r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda l, r: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda l, r: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda l, r: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n), lambda l, r: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lt_n), lambda l, r: (l, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lt_n), lambda l, r: (l, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lt_n), lambda l, r: (l, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, lt_n), lambda l, r: (l, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((R, n), lambda l, r: (l * total_rows // R + r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, n), lambda l, r: (l * total_rows // R + r, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[smem_q, row_spec(), row_spec(),
+                  tbl_spec(n), tbl_spec(n), tbl_spec(n), tbl_spec(n)],
+        out_specs=[row_spec(), row_spec()],
         out_shape=[jax.ShapeDtypeStruct(xh.shape, jnp.uint32)] * 2,
-    )(q, xh, xl, twh, twl, tsh, tsl, lth, ltl, lsh, lsl)
+    )(q, xh, xl, twh, twl, tsh, tsl)
+
+    out_h, out_l = pl.pallas_call(
+        functools.partial(_phase2_kernel, logn, R),
+        interpret=interp,
+        grid=grid,
+        in_specs=[smem_q, row_spec(), row_spec(),
+                  tbl_spec(lt_n), tbl_spec(lt_n), tbl_spec(lt_n), tbl_spec(lt_n)],
+        out_specs=[row_spec(), row_spec()],
+        out_shape=[jax.ShapeDtypeStruct(xh.shape, jnp.uint32)] * 2,
+    )(q, mh, ml, lth, ltl, lsh, lsl)
     return out_h, out_l
 
 
