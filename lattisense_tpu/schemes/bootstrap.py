@@ -46,6 +46,14 @@ class BootstrapConfig:
     sine_deg: int = 30
     double_angle: int = 3
     bsgs_ratio: float = 2.0
+    em_scale: float | None = None  # EvalMod working scale; defaults to q[1]
+                                   # (mixed chains: pass the EvalMod prime,
+                                   # reference btp_eval_mod_scaling_factor)
+    message_ratio: float = 256.0   # message is scaled up to q0/message_ratio
+                                   # before ModRaise so the sine signal sits
+                                   # far above the EvalMod noise floor
+                                   # (reference btp_eval_mod_message_ratio);
+                                   # also caps precision at ~(ratio/2π)²·6
 
 
 class CkksBootstrapper:
@@ -69,7 +77,7 @@ class CkksBootstrapper:
         # EvalMod working scale ≈ the chain primes: all scale-preserving
         # constant multiplies encode at the level prime (Lattigo runs
         # EvalMod at 2^60 the same way).
-        self.em_scale = float(p.q[1])
+        self.em_scale = float(cfg.em_scale or p.q[1])
 
         # Encoded at the full level: PlaintextMul limbs slice down to any
         # working level, so no rigid level schedule is needed. Matrix
@@ -83,18 +91,37 @@ class CkksBootstrapper:
         def split(g):
             return find_best_bsgs_split({o: True for o in g}, s, cfg.bsgs_ratio)
 
-        # the SubSum projection scales the message by R — fold 1/R here
-        post_cts = self.scale / (2.0 * cfg.k * self.q0 * 2 ** cfg.double_angle
-                                 * self.repl)
-        self.cts = [EncodedLinearTransform(engine, g, L, split(g),
-                                           scale=self.em_scale)
-                    for g in cts_matrices(s, cfg.cts_depth, post_scale=post_cts)]
-        post_stc = self.q0 / (2.0 * np.pi * self.scale)
-        self.stc = [EncodedLinearTransform(engine, g, L, split(g),
-                                           scale=self.em_scale)
+        # the working message scale inside the pipeline: q0/message_ratio
+        self.scale_eff = self.q0 / cfg.message_ratio
+
+        # Folded into CoeffsToSlots (zero extra levels): the SubSum gain
+        # 1/R, the EvalMod domain normalization 2^{r+1} (so the Chebyshev
+        # operand is pre-normalized to [-1, 1]), and the 0.5 / -0.5i of
+        # the real/imag split — realized as TWO variants of the LAST C2S
+        # group whose outputs are closed with a conjugation + add.
+        post_cts = (self.scale_eff * 2 ** (cfg.double_angle + 1)
+                    / (2.0 * cfg.k * self.q0 * 2 ** cfg.double_angle
+                       * self.repl))
+        groups = cts_matrices(s, cfg.cts_depth, post_scale=post_cts)
+        self.cts = [EncodedLinearTransform(engine, g, L, split(g))
+                    for g in groups[:-1]]
+        last = groups[-1]
+        self.cts_last_re = EncodedLinearTransform(
+            engine, {o: v * 0.5 for o, v in last.items()}, L, split(last),
+            out_scale_target=self.em_scale)
+        self.cts_last_im = EncodedLinearTransform(
+            engine, {o: v * -0.5j for o, v in last.items()}, L, split(last),
+            out_scale_target=self.em_scale)
+        # Diagonals encode lazily at each level's rescale prime (scale=None)
+        # so the running scale is preserved exactly through both transforms
+        # on ANY chain layout (mixed 40/60-bit regions included) and the
+        # final steering factor stays ≥ 1.
+        post_stc = self.q0 / (2.0 * np.pi * self.scale_eff)
+        self.stc = [EncodedLinearTransform(engine, g, L, split(g))
                     for g in stc_matrices(s, cfg.stc_depth, post_scale=post_stc)]
 
-        # EvalMod series on the actual operand subinterval |y| ≤ 2^-(r+1)
+        # EvalMod series; the operand arrives pre-normalized to [-1, 1]
+        # (the 2^{r+1} domain map is folded into post_cts above)
         K2r = 2.0 * cfg.k * 2 ** cfg.double_angle
         r = cfg.double_angle
 
@@ -103,14 +130,15 @@ class CkksBootstrapper:
 
         a = 1.0 / 2 ** (r + 1)
         self.evalmod = ChebyshevEvaluator(
-            engine, chebyshev_interpolate(f, -a, a, cfg.sine_deg), -a, a)
+            engine, chebyshev_interpolate(f, -a, a, cfg.sine_deg), -1.0, 1.0,
+            pre_normalized=True)
 
     # ------------------------------------------------------------------
     def galois_elements(self) -> list[int]:
         from .galois import galois_elt_col
         p = self.engine.params
         elts = {galois_elt_row(p.n)}
-        for lt in self.cts + self.stc:
+        for lt in self.cts + [self.cts_last_re, self.cts_last_im] + self.stc:
             elts.update(lt.galois_elements())
         step = p.slots
         while step < p.n // 2:                   # SubSum rotations (sparse)
@@ -176,6 +204,18 @@ class CkksBootstrapper:
         eng = self.engine
         if ct.level != 0:
             ct = eng.drop_level(xp, ct, ct.level)
+        caller_scale = ct.scale
+        # scale the message up to q0/message_ratio (free of levels: integer
+        # scalar multiply without rescale) so the sine signal dominates the
+        # EvalMod noise floor; the final steer returns to the caller scale
+        c_int = max(1, int(round(self.scale_eff / ct.scale)))
+        if c_int > 1:
+            from ..core.rns import _col, _mont
+            ring0 = eng.ring(0)
+            cm = _col([_mont(c_int % qi, qi) for qi in eng.q[:1]])
+            from ..core import u64 as _u
+            ct = Ciphertext(data=_u.mont_mul(xp, ct.data, cm, ring0.q, ring0.pinv),
+                            level=0, is_ntt=ct.is_ntt, scale=ct.scale * c_int)
         if swk_dts is not None:
             ct = eng.key_switch(xp, ct, swk_dts)
         t = self.mod_raise(xp, ct)
@@ -193,15 +233,15 @@ class CkksBootstrapper:
             t = eng.add(xp, t, eng.apply_galois(xp, t, elt, glk_map[elt]))
             step <<= 1
 
-        # CoeffsToSlots → y in bit-reversed order, then real/imag split
+        # CoeffsToSlots → y in bit-reversed order; the real/imag split is
+        # realized level-free by the two last-group variants + conjugation
         for lt in self.cts:
             t = eng.rescale(xp, lt(xp, t, glk_map))
-        tc = self._conj(xp, t, glk_map)
-        # steer onto the large EvalMod scale at the split
-        t0 = self._mul_const_complex(xp, eng.add(xp, t, tc), 0.5,
-                                     target_scale=self.em_scale)
-        t1 = self._mul_const_complex(xp, eng.sub(xp, t, tc), -0.5j,
-                                     target_scale=self.em_scale)
+        ta = eng.rescale(xp, self.cts_last_re(xp, t, glk_map))
+        tb = eng.rescale(xp, self.cts_last_im(xp, t, glk_map))
+        ta.scale = tb.scale = self.em_scale
+        t0 = eng.add(xp, ta, self._conj(xp, ta, glk_map))
+        t1 = eng.add(xp, tb, self._conj(xp, tb, glk_map))
 
         # EvalMod per half + double-angle
         outs = []
@@ -222,7 +262,7 @@ class CkksBootstrapper:
             t = eng.rescale(xp, lt(xp, t, glk_map))
         # land exactly on the caller's scale (reference restores the input
         # scale after bootstrap, mega_ag_executors_cpu.cpp:460-463)
-        target = ct.scale
+        target = caller_scale
         if abs(t.scale - target) / target > 1e-9:
             t = self._mul_const_complex(xp, t, 1.0, target_scale=target)
         return t

@@ -26,14 +26,23 @@ class EncodedLinearTransform:
     """
 
     def __init__(self, engine, diags: dict, level: int, n1: int,
-                 scale: float | None = None):
+                 scale: float | None = None,
+                 out_scale_target: float | None = None):
+        """``scale=None`` (recommended for chains with mixed prime sizes)
+        encodes the diagonals lazily at the prime of the level where the
+        transform executes — the product's rescale then preserves the
+        running ciphertext scale exactly, whatever the chain looks like.
+        ``out_scale_target`` instead steers the post-rescale output onto a
+        fixed scale (the bootstrap EvalMod entry)."""
         self.engine = engine
         self.level = level
         self.n1 = n1
-        self.scale = scale or engine.params.scale
+        self.scale = scale
+        self.out_scale_target = out_scale_target
         slots = engine.params.slots
         self.slots = slots
-        self.plain: dict[tuple[int, int], object] = {}
+        self.raw: dict[tuple[int, int], np.ndarray] = {}
+        self._plain_cache: dict = {}
         self.babies: set[int] = set()
         self.giants: set[int] = set()
         for off, vec in diags.items():
@@ -43,8 +52,25 @@ class EncodedLinearTransform:
             if g:
                 self.giants.add(g)
             # pre-rotate by -g so the giant rotation can be applied last
-            pre = np.roll(np.asarray(vec, dtype=np.complex128), g)
-            self.plain[(g, b)] = engine.encode_mul(pre, level, self.scale)
+            self.raw[(g, b)] = np.roll(np.asarray(vec, dtype=np.complex128), g)
+        if scale is not None:
+            self._plain_cache[level] = {
+                k: engine.encode_mul(v, level, scale) for k, v in self.raw.items()}
+
+    def _plain(self, ct_level: int, ct_scale: float):
+        if self.scale is not None:
+            return self._plain_cache[self.level]
+        q_lv = float(self.engine.q[ct_level])
+        if self.out_scale_target is not None:
+            scale = self.out_scale_target * q_lv / ct_scale
+        else:
+            scale = q_lv
+        key = (ct_level, scale)
+        if key not in self._plain_cache:
+            self._plain_cache[key] = {
+                k: self.engine.encode_mul(v, self.level, scale)
+                for k, v in self.raw.items()}
+        return self._plain_cache[key]
 
     def galois_elements(self):
         from .galois import galois_elt_col
@@ -59,6 +85,7 @@ class EncodedLinearTransform:
         n = eng.params.n
         level = ct.level
         ring = eng.ring(level)
+        plain = self._plain(level, ct.scale)
 
         # hoist: one decomposition serves every baby rotation
         rotated: dict[int, Ciphertext] = {}
@@ -74,9 +101,9 @@ class EncodedLinearTransform:
 
         # baby MACs grouped per giant step, then giant rotations
         out = None
-        for g in sorted({g for g, _ in self.plain}):
+        for g in sorted({g for g, _ in plain}):
             acc = None
-            for (gg, b), pt in self.plain.items():
+            for (gg, b), pt in plain.items():
                 if gg != g:
                     continue
                 term = eng.mult(xp, rotated[b], pt)

@@ -62,10 +62,16 @@ class ChebyshevEvaluator:
     """Evaluate Σ c_i·T_i((2x-(a+b))/(b-a)) on a CKKS ciphertext."""
 
     def __init__(self, engine, coeffs, a: float, b: float,
-                 baby_log: int | None = None):
+                 baby_log: int | None = None, pre_normalized: bool = False):
+        """``pre_normalized``: the operand already lives on [-1, 1] (the
+        caller folded the affine map into an upstream constant, e.g. the
+        bootstrap CoeffsToSlots post-scale) — saves one level."""
         self.engine = engine
         self.coeffs = np.asarray(coeffs, dtype=np.float64)
         self.a, self.b = float(a), float(b)
+        self.pre_normalized = pre_normalized
+        if pre_normalized:
+            assert abs(a + b) < 1e-12, 'pre-normalized domain must be symmetric'
         d = len(self.coeffs) - 1
         m = max((d).bit_length(), 1)
         self.baby_log = baby_log if baby_log is not None else (m + 1) // 2
@@ -113,8 +119,11 @@ class ChebyshevEvaluator:
     def _basis(self, xp, ct, rlk):
         """T_1 = affine(x); babies T_2..T_{2^bl - 1}; giants T_{2^k}."""
         a, b = self.a, self.b
-        y = self._mul_const(xp, ct, 2.0 / (b - a))
-        y = self._add_const(xp, y, -(a + b) / (b - a))
+        if self.pre_normalized:
+            y = ct
+        else:
+            y = self._mul_const(xp, ct, 2.0 / (b - a))
+            y = self._add_const(xp, y, -(a + b) / (b - a))
         T = {1: y}
         for k in range(1, 1 << self.baby_log):
             if k + 1 in T or k + 1 == 1:
