@@ -92,7 +92,11 @@ class CkksBootstrapper:
             return find_best_bsgs_split({o: True for o in g}, s, cfg.bsgs_ratio)
 
         # the working message scale inside the pipeline: q0/message_ratio
-        self.scale_eff = self.q0 / cfg.message_ratio
+        # (matches the reference's message_ratio contract — the message is
+        # scaled so its scale sits message_ratio below q0 before ModRaise)
+        self.c_int = max(1, int(round(
+            self.q0 / (cfg.message_ratio * self.scale))))
+        self.scale_eff = self.scale * self.c_int
 
         # Folded into CoeffsToSlots (zero extra levels): the SubSum gain
         # 1/R, the EvalMod domain normalization 2^{r+1} (so the Chebyshev
@@ -132,6 +136,15 @@ class CkksBootstrapper:
         self.evalmod = ChebyshevEvaluator(
             engine, chebyshev_interpolate(f, -a, a, cfg.sine_deg), -1.0, 1.0,
             pre_normalized=True)
+        # steer CoeffsToSlots' output exactly onto the evaluator's planned
+        # entry scale (anchored at em_scale) — the evaluator then enters
+        # on-plan with zero extra levels and its doublings stay inside the
+        # EvalMod prime region
+        entry_level = L - cfg.cts_depth
+        self.em_entry_scale = self.evalmod.planned_scale(entry_level,
+                                                         self.em_scale)
+        self.cts_last_re.out_scale_target = self.em_entry_scale
+        self.cts_last_im.out_scale_target = self.em_entry_scale
 
     # ------------------------------------------------------------------
     def galois_elements(self) -> list[int]:
@@ -205,9 +218,12 @@ class CkksBootstrapper:
         if ct.level != 0:
             ct = eng.drop_level(xp, ct, ct.level)
         caller_scale = ct.scale
-        # scale the message up to q0/message_ratio (free of levels: integer
-        # scalar multiply without rescale) so the sine signal dominates the
-        # EvalMod noise floor; the final steer returns to the caller scale
+        # level-free integer scale-up to the pipeline's working scale (see
+        # __init__); the final steer returns to the caller scale.
+        # c_int adapts to the ACTUAL input scale (callers may arrive off
+        # the context default); the transform folds are built for
+        # scale_eff exactly, so the frame is forced afterwards — free for
+        # default-scale inputs, <= 0.5/c_int relative error otherwise
         c_int = max(1, int(round(self.scale_eff / ct.scale)))
         if c_int > 1:
             from ..core.rns import _col, _mont
@@ -216,6 +232,7 @@ class CkksBootstrapper:
             from ..core import u64 as _u
             ct = Ciphertext(data=_u.mont_mul(xp, ct.data, cm, ring0.q, ring0.pinv),
                             level=0, is_ntt=ct.is_ntt, scale=ct.scale * c_int)
+        ct.scale = self.scale_eff
         if swk_dts is not None:
             ct = eng.key_switch(xp, ct, swk_dts)
         t = self.mod_raise(xp, ct)
@@ -239,14 +256,14 @@ class CkksBootstrapper:
             t = eng.rescale(xp, lt(xp, t, glk_map))
         ta = eng.rescale(xp, self.cts_last_re(xp, t, glk_map))
         tb = eng.rescale(xp, self.cts_last_im(xp, t, glk_map))
-        ta.scale = tb.scale = self.em_scale
+        ta.scale = tb.scale = self.em_entry_scale
         t0 = eng.add(xp, ta, self._conj(xp, ta, glk_map))
         t1 = eng.add(xp, tb, self._conj(xp, tb, glk_map))
 
         # EvalMod per half + double-angle
         outs = []
         for u in (t0, t1):
-            c = self.evalmod(xp, u, rlk)
+            c = self.evalmod(xp, u, rlk, anchor=self.em_scale)
             for _ in range(self.cfg.double_angle):
                 c = self._double_angle(xp, c, rlk)
             outs.append(c)

@@ -77,18 +77,45 @@ class ChebyshevEvaluator:
         self.baby_log = baby_log if baby_log is not None else (m + 1) // 2
         self.giant_logs = list(range(self.baby_log, m))
 
-    # ---- scale/level alignment helpers -----------------------------------
-    def _align(self, xp, cts: list) -> list:
+    # ---- scale-targeted level plan ---------------------------------------
+    # Backward plan (Lattigo-style): σ(ℓ) := sqrt(σ(ℓ-1)·q_ℓ). A product of
+    # two σ(ℓ) operands rescales to σ(ℓ)²/q_ℓ = σ(ℓ-1) EXACTLY, so any two
+    # recursion branches meeting at a level carry identical scales by
+    # construction — stable under mixed prime sizes (the forward recurrence
+    # σ²/q squares deviations and diverges). The sqrt damps the anchor
+    # choice; anchored at the EvalMod/entry magnitude.
+    def _plan_scales(self, anchor: float):
+        q = self.engine.q
+        sigma = {0: float(anchor)}
+        for lv in range(1, len(q)):
+            sigma[lv] = float(np.sqrt(sigma[lv - 1] * float(q[lv])))
+        self._sigma = sigma
+
+    def planned_scale(self, level: int, anchor: float) -> float:
+        """The plan's scale at ``level`` — upstream producers (bootstrap
+        CoeffsToSlots) steer onto this so the evaluator enters on-plan
+        without spending a level."""
+        self._plan_scales(anchor)
+        return self._sigma[level]
+
+    def _to_level(self, xp, ct, level: int):
+        """Bring ct down to ``level`` landing exactly on σ(level): free
+        drops to level+1, then one steering constant multiply."""
+        if ct.level == level:
+            return ct
         eng = self.engine
-        level = min(c.level for c in cts)
-        out = [eng.drop_level(xp, c, c.level - level) if c.level > level else c
-               for c in cts]
-        ref = max(c.scale for c in out)
-        for c in out:
-            rel = abs(c.scale - ref) / ref
-            assert rel < SCALE_FORCE_TOL, f'scale forcing error {rel:.2e}'
-            c.scale = ref
+        if ct.level > level + 1:
+            ct = eng.drop_level(xp, ct, ct.level - level - 1)
+        q_lv = float(eng.q[ct.level])
+        pt_scale = self._sigma[level] * q_lv / ct.scale
+        pt = eng.encode(np.full(eng.params.slots, 1.0), ct.level, pt_scale)
+        out = eng.rescale(xp, eng.mult(xp, ct, pt))
+        out.scale = self._sigma[level]
         return out
+
+    def _align(self, xp, cts: list) -> list:
+        level = min(c.level for c in cts)
+        return [self._to_level(xp, c, level) for c in cts]
 
     def _add(self, xp, x, y):
         x, y = self._align(xp, [x, y])
@@ -100,20 +127,25 @@ class ChebyshevEvaluator:
         return eng.add(xp, ct, pt)
 
     def _mul_const(self, xp, ct, value: float, rescale=True):
-        """Scale-preserving scalar multiply: the constant is encoded at the
-        level's rescale prime, so ct.scale survives the rescale exactly —
-        lets the whole evaluation run at a large scale (e.g. 2^60 EvalMod
-        levels) independent of the context default."""
+        """Constant multiply landing exactly on σ(level-1)."""
         eng = self.engine
-        pt = eng.encode(np.full(eng.params.slots, value), ct.level,
-                        scale=float(eng.q[ct.level]))
+        q_lv = float(eng.q[ct.level])
+        pt_scale = self._sigma[ct.level - 1] * q_lv / ct.scale
+        pt = eng.encode(np.full(eng.params.slots, value), ct.level, pt_scale)
         out = eng.mult(xp, ct, pt)
-        return eng.rescale(xp, out) if rescale else out
+        if not rescale:
+            return out
+        out = eng.rescale(xp, out)
+        out.scale = self._sigma[out.level]
+        return out
 
     def _mult(self, xp, x, y, rlk):
         x, y = self._align(xp, [x, y])
-        return self.engine.rescale(xp, self.engine.relinearize(
+        out = self.engine.rescale(xp, self.engine.relinearize(
             xp, self.engine.mult(xp, x, y), rlk))
+        # x.scale·y.scale/q ≡ σ(ℓ-1) by the plan; pin the float exactly
+        out.scale = self._sigma[out.level]
+        return out
 
     # ---- basis -----------------------------------------------------------
     def _basis(self, xp, ct, rlk):
@@ -173,7 +205,17 @@ class ChebyshevEvaluator:
         out = self._mult(xp, qc, T[g], rlk)
         return self._add(xp, out, rc)
 
-    def __call__(self, xp, ct: Ciphertext, rlk) -> Ciphertext:
+    def __call__(self, xp, ct: Ciphertext, rlk, anchor: float | None = None) -> Ciphertext:
+        self._plan_scales(anchor or ct.scale)
+        # enter exactly on plan: one steering multiply if off by > 1e-9
+        sig = self._sigma[ct.level]
+        if abs(ct.scale - sig) / sig > 1e-9:
+            eng = self.engine
+            q_lv = float(eng.q[ct.level])
+            pt_scale = self._sigma[ct.level - 1] * q_lv / ct.scale
+            pt = eng.encode(np.full(eng.params.slots, 1.0), ct.level, pt_scale)
+            ct = eng.rescale(xp, eng.mult(xp, ct, pt))
+            ct.scale = self._sigma[ct.level]
         T = self._basis(xp, ct, rlk)
         return self._eval_rec(xp, self.coeffs, T, rlk)
 
