@@ -20,6 +20,11 @@ from . import u64 as _u
 
 _USE_NATIVE = os.environ.get('LATTISENSE_NO_NATIVE', '') in ('', '0')
 
+# Fused Pallas kernels for the device path (opt-in until the real-chip
+# Mosaic build is validated end-to-end; bit-identical to the XLA path,
+# see ops/ntt_pallas.py and tests/test_ntt_pallas.py).
+_USE_PALLAS = os.environ.get('LATTISENSE_PALLAS_NTT', '0') not in ('', '0')
+
 
 def _native():
     if not _USE_NATIVE:
@@ -28,12 +33,19 @@ def _native():
     return native if native.available() else None
 
 
+def _pallas_ok(xp, n):
+    return _USE_PALLAS and xp.__name__ != 'numpy' and n >= 256
+
+
 def ntt(xp, x, ring):
     """Forward negacyclic NTT. x: u64 (..., L, n) in [0, q). Output bit-reversed."""
     if xp.__name__ == 'numpy':
         nat = _native()
         if nat is not None:
             return nat.ntt_forward(x, ring)
+    if _pallas_ok(xp, x.shape[-1]):
+        from ..ops.ntt_pallas import ntt_fused
+        return ntt_fused(x, ring)
     n = x.shape[-1]
     L = x.shape[-2]
     batch = x.shape[:-2]
@@ -63,6 +75,9 @@ def intt(xp, x, ring):
         nat = _native()
         if nat is not None:
             return nat.ntt_inverse(x, ring)
+    if _pallas_ok(xp, x.shape[-1]):
+        from ..ops.ntt_pallas import intt_fused
+        return intt_fused(x, ring)
     n = x.shape[-1]
     L = x.shape[-2]
     batch = x.shape[:-2]

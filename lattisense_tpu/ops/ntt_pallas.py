@@ -337,19 +337,36 @@ def _launch(xh, xl, twh, twl, tsh, tsl, lth, ltl, lsh, lsl, q, *,
     lth, ltl, lsh, lsl = (a.reshape(L, 1, lt_n) for a in (lth, ltl, lsh, lsl))
     interp = jax.default_backend() == 'cpu'
 
+    # Index maps must stay strictly int32 under jax_enable_x64: a traced
+    # `//` promotes to int64 and Mosaic's int64->int32 convert lowering
+    # self-recurses (lowering.py _convert_helper re-emits the cast), and
+    # int literals trace as i64 constants that fail func.return
+    # legalization.
+    def _im(*vals):
+        return tuple(jnp.int32(v) for v in vals)
+
     def row_spec():
-        return pl.BlockSpec((R, n), lambda l, r: (l * total_rows // R + r, 0),
+        blocks_per_limb = total_rows // R
+        return pl.BlockSpec((R, n),
+                            lambda l, r: _im(l * blocks_per_limb + r, 0),
                             memory_space=pltpu.VMEM)
 
     def tbl_spec(width):
-        return pl.BlockSpec((1, 1, width), lambda l, r: (l, 0, 0),
+        return pl.BlockSpec((1, 1, width), lambda l, r: _im(l, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    smem_q = pl.BlockSpec((L, 2), lambda l, r: (0, 0), memory_space=pltpu.SMEM)
+    smem_q = pl.BlockSpec((L, 2), lambda l, r: _im(0, 0),
+                          memory_space=pltpu.SMEM)
 
+    # the unrolled stages keep many (R, n) temporaries live; allow the
+    # kernel the chip's real VMEM instead of the 16M scoped default
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024,
+                                   dimension_semantics=('arbitrary',
+                                                        'arbitrary'))
     mh, ml = pl.pallas_call(
         functools.partial(_phase1_kernel, logn, R),
         interpret=interp,
+        compiler_params=cparams,
         grid=grid,
         in_specs=[smem_q, row_spec(), row_spec(),
                   tbl_spec(n), tbl_spec(n), tbl_spec(n), tbl_spec(n)],
@@ -360,6 +377,7 @@ def _launch(xh, xl, twh, twl, tsh, tsl, lth, ltl, lsh, lsl, q, *,
     out_h, out_l = pl.pallas_call(
         functools.partial(_phase2_kernel, logn, R),
         interpret=interp,
+        compiler_params=cparams,
         grid=grid,
         in_specs=[smem_q, row_spec(), row_spec(),
                   tbl_spec(lt_n), tbl_spec(lt_n), tbl_spec(lt_n), tbl_spec(lt_n)],
@@ -396,5 +414,210 @@ def ntt_fused(x, ring, rows_per_block: int = 8):
     out = oh.astype(jnp.uint64) << jnp.uint64(32) | ol.astype(jnp.uint64)
     # undo the kernel's tile transpose: (rows, LANES, sub) -> (rows, sub, LANES)
     out = out.reshape(-1, LANES, sub).swapaxes(1, 2).reshape(-1, n)
+    out = out.reshape(L, batch_p, n)[:, :batch]
+    return jnp.moveaxis(out, 0, 1).reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# inverse transform (Gentleman–Sande; mirrors core/ntt.py intt bit-exactly)
+# ---------------------------------------------------------------------------
+
+def _itables(ring_key):
+    """Inverse twiddles: phase-A (sub-LANES stages, transposed-tile layout,
+    consumption order t = 1..LANES/2) and phase-B (t >= LANES, natural
+    layout), plus per-limb (q, n^-1, shoup(n^-1)) hi/lo for SMEM."""
+    ring, = _RING_STASH[ring_key]
+    n = ring.n
+    L = len(ring.moduli)
+    sub = n // LANES
+    logn = n.bit_length() - 1
+
+    def split(a):
+        a = np.ascontiguousarray(a, dtype=np.uint64)
+        return ((a >> np.uint64(32)).astype(np.uint32),
+                (a & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+
+    iwh, iwl = split(ring.psi_inv_rev)       # (L, n) — phase B
+    ish, isl = split(ring.psi_inv_rev_shoup)
+
+    lt_list, ls_list = [], []
+    t = 1
+    while t < LANES:
+        m = n // (2 * t)
+        mb = LANES // (2 * t)
+        a_idx = np.arange(sub)
+        gb_idx = np.arange(mb)
+        g = a_idx[None, :] * mb + gb_idx[:, None]       # (mb, sub)
+        lt_list.append(ring.psi_inv_rev[:, m + g.reshape(-1)])
+        ls_list.append(ring.psi_inv_rev_shoup[:, m + g.reshape(-1)])
+        t *= 2
+    lt = np.concatenate(lt_list, axis=1)
+    ls = np.concatenate(ls_list, axis=1)
+    ilth, iltl = split(lt)
+    ilsh, ilsl = split(ls)
+
+    def cols(a):
+        a = np.asarray(a, dtype=np.uint64).reshape(-1)
+        return ((a >> np.uint64(32)).astype(np.uint32),
+                (a & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+
+    qh, ql = cols(ring.q)
+    nih, nil = cols(ring.n_inv)
+    nsh, nsl = cols(ring.n_inv_shoup)
+    qn = np.stack([qh, ql, nih, nil, nsh, nsl], axis=1)  # (L, 6)
+    return (logn, L, sub, iwh, iwl, ish, isl, ilth, iltl, ilsh, ilsl, qn)
+
+
+def _iphase_a_kernel(logn, rows, qn_ref, xh_ref, xl_ref, lth_ref, ltl_ref,
+                     lsh_ref, lsl_ref, oh_ref, ol_ref):
+    """Tile transpose + GS stages t = 1..LANES/2, transpose back."""
+    n = 1 << logn
+    sub = n // LANES
+    limb = pl.program_id(0)
+    qh = qn_ref[limb, 0]
+    ql = qn_ref[limb, 1]
+    vh = xh_ref[...].reshape(rows, sub, LANES).swapaxes(1, 2)
+    vl = xl_ref[...].reshape(rows, sub, LANES).swapaxes(1, 2)
+    off = 0
+    tb = 1
+    while tb < LANES:
+        mb = LANES // (2 * tb)
+        sh5 = (rows, mb, 2, tb, sub)
+        ph = vh.reshape(sh5)
+        plv = vl.reshape(sh5)
+        cnt = mb * sub
+        wh = lth_ref[0, 0, off:off + cnt].reshape(1, mb, 1, sub)
+        wl = ltl_ref[0, 0, off:off + cnt].reshape(1, mb, 1, sub)
+        swh = lsh_ref[0, 0, off:off + cnt].reshape(1, mb, 1, sub)
+        swl = lsl_ref[0, 0, off:off + cnt].reshape(1, mb, 1, sub)
+        uh, ul = ph[:, :, 0], plv[:, :, 0]
+        bh, bl = ph[:, :, 1], plv[:, :, 1]
+        s_h, s_l = _addmod64(uh, ul, bh, bl, qh, ql)
+        dh, dl = _submod64(uh, ul, bh, bl, qh, ql)
+        d_h, d_l = _shoup_mul64(dh, dl, wh, wl, swh, swl, qh, ql)
+        vh = jnp.stack([s_h, d_h], axis=2).reshape(rows, LANES, sub)
+        vl = jnp.stack([s_l, d_l], axis=2).reshape(rows, LANES, sub)
+        off += cnt
+        tb *= 2
+    oh_ref[...] = vh.swapaxes(1, 2).reshape(rows, n)
+    ol_ref[...] = vl.swapaxes(1, 2).reshape(rows, n)
+
+
+def _iphase_b_kernel(logn, rows, qn_ref, xh_ref, xl_ref, iwh_ref, iwl_ref,
+                     ish_ref, isl_ref, oh_ref, ol_ref):
+    """GS stages t = LANES..n/2 (natural layout) + the n^-1 fold."""
+    n = 1 << logn
+    limb = pl.program_id(0)
+    qh = qn_ref[limb, 0]
+    ql = qn_ref[limb, 1]
+    vh = xh_ref[...]
+    vl = xl_ref[...]
+    t = LANES
+    while t < n:
+        m = n // (2 * t)
+        sh4 = (rows, m, 2, t)
+        ph = vh.reshape(sh4)
+        plv = vl.reshape(sh4)
+        wh = iwh_ref[0, 0, m:2 * m].reshape(1, m, 1)
+        wl = iwl_ref[0, 0, m:2 * m].reshape(1, m, 1)
+        swh = ish_ref[0, 0, m:2 * m].reshape(1, m, 1)
+        swl = isl_ref[0, 0, m:2 * m].reshape(1, m, 1)
+        uh, ul = ph[:, :, 0], plv[:, :, 0]
+        bh, bl = ph[:, :, 1], plv[:, :, 1]
+        s_h, s_l = _addmod64(uh, ul, bh, bl, qh, ql)
+        dh, dl = _submod64(uh, ul, bh, bl, qh, ql)
+        d_h, d_l = _shoup_mul64(dh, dl, wh, wl, swh, swl, qh, ql)
+        vh = jnp.stack([s_h, d_h], axis=2).reshape(rows, n)
+        vl = jnp.stack([s_l, d_l], axis=2).reshape(rows, n)
+        t *= 2
+    nih = qn_ref[limb, 2]
+    nil = qn_ref[limb, 3]
+    nsh = qn_ref[limb, 4]
+    nsl = qn_ref[limb, 5]
+    vh, vl = _shoup_mul64(vh, vl, nih, nil, nsh, nsl, qh, ql)
+    oh_ref[...] = vh
+    ol_ref[...] = vl
+
+
+@functools.partial(jax.jit, static_argnames=('logn', 'L', 'rows_per_block'))
+def _ilaunch(xh, xl, iwh, iwl, ish, isl, ilth, iltl, ilsh, ilsl, qn, *,
+             logn, L, rows_per_block):
+    n = 1 << logn
+    total_rows = xh.shape[0] // L
+    grid = (L, total_rows // rows_per_block)
+    R = rows_per_block
+    lt_n = ilth.shape[-1]
+    iwh, iwl, ish, isl = (a.reshape(L, 1, n) for a in (iwh, iwl, ish, isl))
+    ilth, iltl, ilsh, ilsl = (a.reshape(L, 1, lt_n)
+                              for a in (ilth, iltl, ilsh, ilsl))
+    interp = jax.default_backend() == 'cpu'
+
+    def _im(*vals):
+        return tuple(jnp.int32(v) for v in vals)
+
+    def row_spec():
+        blocks_per_limb = total_rows // R
+        return pl.BlockSpec((R, n),
+                            lambda l, r: _im(l * blocks_per_limb + r, 0),
+                            memory_space=pltpu.VMEM)
+
+    def tbl_spec(width):
+        return pl.BlockSpec((1, 1, width), lambda l, r: _im(l, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    smem_qn = pl.BlockSpec((L, 6), lambda l, r: _im(0, 0),
+                           memory_space=pltpu.SMEM)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024,
+                                   dimension_semantics=('arbitrary',
+                                                        'arbitrary'))
+    mh, ml = pl.pallas_call(
+        functools.partial(_iphase_a_kernel, logn, R),
+        interpret=interp,
+        compiler_params=cparams,
+        grid=grid,
+        in_specs=[smem_qn, row_spec(), row_spec(),
+                  tbl_spec(lt_n), tbl_spec(lt_n), tbl_spec(lt_n), tbl_spec(lt_n)],
+        out_specs=[row_spec(), row_spec()],
+        out_shape=[jax.ShapeDtypeStruct(xh.shape, jnp.uint32)] * 2,
+    )(qn, xh, xl, ilth, iltl, ilsh, ilsl)
+
+    out_h, out_l = pl.pallas_call(
+        functools.partial(_iphase_b_kernel, logn, R),
+        interpret=interp,
+        compiler_params=cparams,
+        grid=grid,
+        in_specs=[smem_qn, row_spec(), row_spec(),
+                  tbl_spec(n), tbl_spec(n), tbl_spec(n), tbl_spec(n)],
+        out_specs=[row_spec(), row_spec()],
+        out_shape=[jax.ShapeDtypeStruct(xh.shape, jnp.uint32)] * 2,
+    )(qn, mh, ml, iwh, iwl, ish, isl)
+    return out_h, out_l
+
+
+def intt_fused(x, ring, rows_per_block: int = 8):
+    """Drop-in inverse NTT over (..., L, n) u64, bit-identical to
+    core.ntt.intt (input bit-reversed, output natural, scaled by n^-1)."""
+    key = _stash(ring)
+    (logn, L, sub, iwh, iwl, ish, isl, ilth, iltl, ilsh, ilsl, qn) = \
+        _itables(key)
+    n = 1 << logn
+    shape = x.shape
+    batch = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    xr = jnp.moveaxis(x.reshape(batch, L, n), 1, 0).reshape(L * batch, n)
+    pad_rows = (-batch) % rows_per_block
+    if pad_rows:
+        xr = xr.reshape(L, batch, n)
+        xr = jnp.pad(xr, ((0, 0), (0, pad_rows), (0, 0))).reshape(-1, n)
+        batch_p = batch + pad_rows
+    else:
+        batch_p = batch
+    xh = (xr >> jnp.uint64(32)).astype(jnp.uint32)
+    xl = (xr & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    oh, ol = _ilaunch(xh, xl, jnp.asarray(iwh), jnp.asarray(iwl),
+                      jnp.asarray(ish), jnp.asarray(isl), jnp.asarray(ilth),
+                      jnp.asarray(iltl), jnp.asarray(ilsh), jnp.asarray(ilsl),
+                      jnp.asarray(qn), logn=logn, L=L,
+                      rows_per_block=rows_per_block)
+    out = oh.astype(jnp.uint64) << jnp.uint64(32) | ol.astype(jnp.uint64)
     out = out.reshape(L, batch_p, n)[:, :batch]
     return jnp.moveaxis(out, 0, 1).reshape(shape)

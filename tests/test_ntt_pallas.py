@@ -47,3 +47,46 @@ def test_u32_pair_primitives():
     hi = ((a.astype(object) * b.astype(object)) >> 64).astype(np.uint64)
     np.testing.assert_array_equal(join(*K._mulhi64(ah, al, bh, bl)), hi)
     np.testing.assert_array_equal(K._geq64(ah, al, bh, bl), a >= b)
+
+
+def test_fused_intt_bitexact():
+    from lattisense_tpu.ops.ntt_pallas import intt_fused
+    n, L, B = 16384, 2, 1
+    q = gen_ntt_primes(n, 55, L)
+    ring = get_rns_ring(tuple(q), n)
+    rng = np.random.default_rng(3)
+    x = np.stack([np.stack([rng.integers(0, qi, n, dtype=np.uint64) for qi in q])
+                  for _ in range(B)])
+    ref = ntt_mod.intt(np, x, ring)
+    got = np.asarray(intt_fused(jnp.asarray(x), ring))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fused_roundtrip():
+    from lattisense_tpu.ops.ntt_pallas import ntt_fused, intt_fused
+    n, L = 16384, 2
+    q = gen_ntt_primes(n, 55, L)
+    ring = get_rns_ring(tuple(q), n)
+    rng = np.random.default_rng(5)
+    x = np.stack([rng.integers(0, qi, n, dtype=np.uint64) for qi in q])[None]
+    back = np.asarray(intt_fused(ntt_fused(jnp.asarray(x), ring), ring))
+    np.testing.assert_array_equal(back, x)
+
+
+def test_core_dispatch_env_gate(monkeypatch):
+    """LATTISENSE_PALLAS_NTT routes the jax path through the fused kernels
+    (interpret mode on CPU) and stays bit-identical to the XLA path."""
+    import jax.numpy as jnp2
+    import lattisense_tpu.core.ntt as core_ntt
+    n, L = 16384, 2
+    q = gen_ntt_primes(n, 55, L)
+    ring = get_rns_ring(tuple(q), n)
+    rng = np.random.default_rng(9)
+    x = np.stack([rng.integers(0, qi, n, dtype=np.uint64) for qi in q])[None]
+    ref_f = np.asarray(core_ntt.ntt(jnp2, jnp2.asarray(x), ring))
+    ref_i = np.asarray(core_ntt.intt(jnp2, jnp2.asarray(ref_f), ring))
+    monkeypatch.setattr(core_ntt, '_USE_PALLAS', True)
+    got_f = np.asarray(core_ntt.ntt(jnp2, jnp2.asarray(x), ring))
+    got_i = np.asarray(core_ntt.intt(jnp2, jnp2.asarray(got_f), ring))
+    np.testing.assert_array_equal(got_f, ref_f)
+    np.testing.assert_array_equal(got_i, ref_i)
