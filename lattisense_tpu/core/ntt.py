@@ -23,7 +23,9 @@ _USE_NATIVE = os.environ.get('LATTISENSE_NO_NATIVE', '') in ('', '0')
 # Fused Pallas kernels for the device path (opt-in until the real-chip
 # Mosaic build is validated end-to-end; bit-identical to the XLA path,
 # see ops/ntt_pallas.py and tests/test_ntt_pallas.py).
-_USE_PALLAS = os.environ.get('LATTISENSE_PALLAS_NTT', '0') not in ('', '0')
+_USE_PALLAS = (os.environ.get('LATTISENSE_PALLAS_NTT',
+                              os.environ.get('LATTISENSE_PALLAS', '0'))
+               not in ('', '0'))
 
 
 def _native():

@@ -13,6 +13,7 @@ exactly on NumPy (golden) and as jitted XLA on TPU.
 """
 
 import math
+import os
 
 import numpy as np
 
@@ -20,6 +21,12 @@ from . import u64 as _u
 from ..params import MTILDE, MTILDE_BITS
 
 _U64 = np.uint64
+
+# Fused Pallas basis conversion for the device path (opt-in, bit-identical;
+# ops/bconv_pallas.py). LATTISENSE_PALLAS enables every fused kernel.
+_USE_PALLAS = (os.environ.get('LATTISENSE_PALLAS_BCONV',
+                              os.environ.get('LATTISENSE_PALLAS', '0'))
+               not in ('', '0'))
 
 
 def _col(vals):
@@ -69,6 +76,9 @@ class BasisConv:
         log-depth modular reduction tree — O(log L) traced ops instead of
         O(L·T), and full (T·L·n)-lane VPU work per op.
         """
+        if _USE_PALLAS and xp.__name__ != 'numpy' and y.shape[-1] >= 256:
+            from ..ops.bconv_pallas import bconv_convert_fused
+            return bconv_convert_fused(y, self)
         terms = _u.mont_mul(xp, y[..., None, :, :], self.qhat_dst_mont[:, :, None],
                             self.dst_q[:, :, None], self.dst_pinv[:, :, None])
         return _u.modsum_tree(xp, terms, self.dst_q[:, :, None], axis=-2)
