@@ -139,9 +139,12 @@ def _consts(conv):
 _CONST_CACHE: dict = {}
 
 
-def bconv_convert_fused(y, conv, rows_per_block: int = 4):
+def bconv_convert_fused(y, conv, rows_per_block: int = 8):
     """Drop-in for BasisConv.convert on the jax path: y (..., L, n) u64
-    decomposed residues → (..., T, n) u64, bit-identical."""
+    decomposed residues → (..., T, n) u64, bit-identical.
+
+    rows_per_block must be a multiple of 8 (Mosaic: second-to-last block
+    dim divisible by 8)."""
     ch, cl, qd, T, L = _consts(conv)
     shape = y.shape
     n = shape[-1]

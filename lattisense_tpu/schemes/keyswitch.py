@@ -23,15 +23,23 @@ reference would produce.
 
 import functools
 import math
+import os
 
 import numpy as np
 
 from ..core import ntt as ntt_mod
 from ..core import u64 as _u
+
 from ..core.modring import get_rns_ring
 from ..core.rns import BasisConv, _col, _mont, _shoup
 
 _U64 = np.uint64
+
+# Fused Pallas gadget inner product (opt-in, bit-identical;
+# ops/ksw_pallas.py). LATTISENSE_PALLAS enables every fused kernel.
+_USE_PALLAS = (os.environ.get('LATTISENSE_PALLAS_KSW',
+                              os.environ.get('LATTISENSE_PALLAS', '0'))
+               not in ('', '0'))
 
 
 class RoundDivP:
@@ -130,6 +138,10 @@ class KeySwitcher:
         L = level + 1
         beta = self.beta(level)
         kd = xp.concatenate([ksk.key_q[:beta, :, :L], ksk.key_p[:beta]], axis=2)
+        if (_USE_PALLAS and xp.__name__ != 'numpy'
+                and digits_ntt.shape[-1] >= 256):
+            from ..ops.ksw_pallas import ksw_inner_fused
+            return ksw_inner_fused(digits_ntt, kd, ring_qp.q, ring_qp.pinv)
         terms = _u.mont_mul(xp, digits_ntt[..., :, None, :, :], kd,
                             ring_qp.q, ring_qp.pinv)
         acc = _u.modsum_tree(xp, terms, ring_qp.q, axis=-4)
