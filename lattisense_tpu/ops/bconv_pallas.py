@@ -139,13 +139,13 @@ def _consts(conv):
 _CONST_CACHE: dict = {}
 
 
-def bconv_convert_fused(y, conv, rows_per_block: int = 8):
-    """Drop-in for BasisConv.convert on the jax path: y (..., L, n) u64
-    decomposed residues → (..., T, n) u64, bit-identical.
+def _bconv_raw_impl(y, ch, cl, qd, T, L, rows_per_block: int = 8):
+    """Fused conversion from raw split constants: y (..., L, n) u64 →
+    (..., T, n). ch/cl: (T, L) u32 Montgomery-form [Q/q_l]_{d_t} planes;
+    qd: (T, 4) u32 [q_hi, q_lo, pinv_hi, pinv_lo].
 
     rows_per_block must be a multiple of 8 (Mosaic: second-to-last block
     dim divisible by 8)."""
-    ch, cl, qd, T, L = _consts(conv)
     shape = y.shape
     n = shape[-1]
     batch = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
@@ -160,3 +160,55 @@ def bconv_convert_fused(y, conv, rows_per_block: int = 8):
     out = oh.astype(jnp.uint64) << jnp.uint64(32) | ol.astype(jnp.uint64)
     out = out[:, :batch]                                         # (T, B, n)
     return jnp.moveaxis(out, 0, 1).reshape(*shape[:-2], T, n)
+
+
+def bconv_convert_fused(y, conv, rows_per_block: int = 8):
+    """Drop-in for BasisConv.convert on the jax path: y (..., L, n) u64
+    decomposed residues → (..., T, n) u64, bit-identical."""
+    ch, cl, qd, T, L = _consts(conv)
+    return bconv_raw_fused(y, ch, cl, qd, T, L, rows_per_block)
+
+
+# vmap-aware entry: collapse mapped axes into the kernel's leading batch
+# dims instead of one padded batch=1 kernel call per element (see
+# ops/ntt_pallas.py rationale).
+_RAW_VMAP_CACHE: dict = {}
+
+
+def _raw_vmap_entry(ch, cl, qd, T, L, rows_per_block):
+    key = (ch.tobytes(), qd.tobytes(), T, L, rows_per_block)
+    f = _RAW_VMAP_CACHE.get(key)
+    if f is None:
+        @jax.custom_batching.custom_vmap
+        def f(y):
+            return _bconv_raw_impl(y, ch, cl, qd, T, L, rows_per_block)
+
+        @f.def_vmap
+        def _rule(axis_size, in_batched, yb):
+            return _bconv_raw_impl(yb, ch, cl, qd, T, L,
+                                   rows_per_block), True
+
+        _RAW_VMAP_CACHE[key] = f
+    return f
+
+
+def bconv_raw_fused(y, ch, cl, qd, T, L, rows_per_block: int = 8):
+    """Fused conversion from raw split constants (vmap-collapsing): y
+    (..., L, n) u64 → (..., T, n). See _bconv_raw_impl for shapes."""
+    return _raw_vmap_entry(ch, cl, qd, T, L, rows_per_block)(y)
+
+
+def split_consts(C, dst_q, dst_pinv):
+    """Host-side split of (T, L) u64 Montgomery constants + (T,) moduli
+    into the kernel's u32 planes (for callers with custom constants,
+    e.g. the key-switch grouped mod-up)."""
+    C = np.asarray(C, dtype=np.uint64)
+    ch = (C >> np.uint64(32)).astype(np.uint32)
+    cl = (C & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    dq = np.asarray(dst_q, dtype=np.uint64).reshape(-1)
+    pv = np.asarray(dst_pinv, dtype=np.uint64).reshape(-1)
+    qd = np.stack([(dq >> np.uint64(32)).astype(np.uint32),
+                   (dq & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                   (pv >> np.uint64(32)).astype(np.uint32),
+                   (pv & np.uint64(0xFFFFFFFF)).astype(np.uint32)], axis=1)
+    return ch, cl, qd

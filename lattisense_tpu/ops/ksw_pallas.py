@@ -96,7 +96,7 @@ def _split64(a):
             (a & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32))
 
 
-def ksw_inner_fused(digits_ntt, kd, q, pinv, rows_per_block: int = 4):
+def _ksw_inner_impl(digits_ntt, kd, q, pinv, rows_per_block: int = 4):
     """Drop-in for the inner_product core: digits (..., β, T, n) u64,
     kd (β, 2, T, n) u64 keys, q/pinv (T, 1) u64 → pair of (..., T, n).
 
@@ -130,3 +130,29 @@ def ksw_inner_fused(digits_ntt, kd, q, pinv, rows_per_block: int = 4):
     out = out[:batch, :, :T]                       # (B, 2, T, n)
     acc = out.reshape(*shape[:-3], 2, T, n)
     return acc[..., 0, :, :], acc[..., 1, :, :]
+
+
+# vmap-aware entry (see ops/ntt_pallas.py rationale): the mapped axis
+# collapses into the kernel's leading batch dims; the key operand stays
+# unmapped (vmap in_axes=None broadcasts it).
+_VMAP_CACHE: dict = {}
+
+
+def ksw_inner_fused(digits_ntt, kd, q, pinv, rows_per_block: int = 4):
+    """Drop-in for the gadget inner product core (vmap-collapsing)."""
+    key = (tuple(np.asarray(q, dtype=np.uint64).reshape(-1).tolist()),
+           rows_per_block)
+    f = _VMAP_CACHE.get(key)
+    if f is None:
+        @jax.custom_batching.custom_vmap
+        def f(d, k):
+            return _ksw_inner_impl(d, k, q, pinv, rows_per_block)
+
+        @f.def_vmap
+        def _rule(axis_size, in_batched, db, kb):
+            assert not in_batched[1], 'mapped key operand unsupported'
+            return _ksw_inner_impl(db, kb, q, pinv, rows_per_block), \
+                (True, True)
+
+        _VMAP_CACHE[key] = f
+    return f(digits_ntt, kd)

@@ -123,11 +123,33 @@ class KeySwitcher:
             x = xp.pad(x, widths)
         xg = x.reshape(*x.shape[:-2], beta, alpha, self.n)
         y = _u.shoup_mul(xp, xg, qhat_inv, qhat_inv_shoup, src_q)
-        # grouped FastBConv: (..., β, 1, α, n) × (β, T, α, 1) → Σ_α
-        terms = _u.mont_mul(xp, y[..., :, None, :, :], qhat_conv[:, :, :, None],
-                            ring_qp.q[:, :, None], ring_qp.pinv[:, :, None])
-        xd = _u.modsum_tree(xp, terms, ring_qp.q[:, :, None], axis=-2)
+        if (_USE_PALLAS and xp.__name__ != 'numpy' and self.n >= 256):
+            xd = self._modup_fused(y, level)
+        else:
+            # grouped FastBConv: (..., β, 1, α, n) × (β, T, α, 1) → Σ_α
+            terms = _u.mont_mul(xp, y[..., :, None, :, :],
+                                qhat_conv[:, :, :, None],
+                                ring_qp.q[:, :, None],
+                                ring_qp.pinv[:, :, None])
+            xd = _u.modsum_tree(xp, terms, ring_qp.q[:, :, None], axis=-2)
         return ntt_mod.ntt(xp, xd, ring_qp)
+
+    @functools.lru_cache(maxsize=None)
+    def _modup_consts(self, level: int):
+        from ..ops.bconv_pallas import split_consts
+        ring_qp, _, _, _, qhat_conv, _ = self._level_pre(level)
+        return [split_consts(qhat_conv[d], ring_qp.q, ring_qp.pinv)
+                for d in range(self.beta(level))]
+
+    def _modup_fused(self, y, level: int):
+        """Per-digit fused FastBConv: y (..., β, α, n) → (..., β, T, n)."""
+        from ..ops.bconv_pallas import bconv_raw_fused
+        import jax.numpy as jnp
+        consts = self._modup_consts(level)
+        T = len(self.q_moduli[:level + 1]) + self.alpha
+        outs = [bconv_raw_fused(y[..., d, :, :], ch, cl, qd, T, self.alpha)
+                for d, (ch, cl, qd) in enumerate(consts)]
+        return jnp.stack(outs, axis=-3)
 
     def inner_product(self, xp, digits_ntt, ksk, level: int):
         """Σ_d digit_d ⊙ key_d over Q_ℓ∪P (NTT domain) → pair of (..., T, n).

@@ -90,3 +90,19 @@ def test_core_dispatch_env_gate(monkeypatch):
     got_i = np.asarray(core_ntt.intt(jnp2, jnp2.asarray(got_f), ring))
     np.testing.assert_array_equal(got_f, ref_f)
     np.testing.assert_array_equal(got_i, ref_i)
+
+
+def test_fused_ntt_under_vmap():
+    """jax.vmap over the fused NTT must collapse into one batched kernel
+    call (custom_vmap) and stay bit-identical."""
+    import jax
+    from lattisense_tpu.ops.ntt_pallas import ntt_fused
+    n, L, B = 2048, 2, 3
+    q = gen_ntt_primes(n, 55, L)
+    ring = get_rns_ring(tuple(q), n)
+    rng = np.random.default_rng(11)
+    x = np.stack([np.stack([rng.integers(0, qi, n, dtype=np.uint64)
+                            for qi in q]) for _ in range(B)])
+    ref = ntt_mod.ntt(np, x, ring)
+    got = np.asarray(jax.vmap(lambda v: ntt_fused(v, ring))(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, ref)
