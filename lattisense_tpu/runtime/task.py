@@ -90,7 +90,7 @@ class FheTaskTpu:
             self.mag = json.load(f)
         with open(os.path.join(task_dir, 'task_signature.json')) as f:
             self.signature = json.load(f)
-        assert mode in ('jit', 'eager')
+        assert mode in ('jit', 'eager', 'partitioned')
         self.mode = mode
         self.donate_inputs = donate_inputs
         # user executors for custom compute nodes, keyed by node type
@@ -132,10 +132,12 @@ class FheTaskTpu:
                 for o in computes[idx]['outputs']:
                     available.add(o)
             layers.append(wave)
-        if self.batch_fuse and self.mode == 'jit':
+        self.plan_meta = []
+        if self.batch_fuse and self.mode in ('jit', 'partitioned'):
             self.plan = self._build_batched_plan(layers)
         else:
             self.plan = [self._bind_executor(c) for c in order]
+            self.plan_meta = [self._step_meta([c]) for c in order]
 
     # ------------------------------------------------------------------
     # Iso-op batching: reference graphs carry many structurally identical
@@ -166,9 +168,20 @@ class FheTaskTpu:
                 if len(members) == 1 or members[0].get('is_custom') \
                         or members[0]['type'] == 'bootstrap':
                     plan += [self._bind_executor(c) for c in members]
+                    self.plan_meta += [self._step_meta([c]) for c in members]
                 else:
                     plan.append(self._bind_group_executor(members))
+                    self.plan_meta.append(self._step_meta(members))
         return plan
+
+    @staticmethod
+    def _step_meta(members):
+        ins, outs = set(), set()
+        for c in members:
+            ins.update(c['inputs'])
+            outs.update(c['outputs'])
+        return {'inputs': ins, 'outputs': outs,
+                'custom': bool(members[0].get('is_custom'))}
 
     def _bind_group_executor(self, members):
         import jax
@@ -413,14 +426,8 @@ class FheTaskTpu:
             flat += check_sig.flatten(input_values[row['id']])
         return flat
 
-    def _trace(self, xp, input_arrays, key_tree, scales=None, progress=None):
-        env = {}
-        data_nodes = self._data_input_nodes()
-        default = getattr(self.params, 'scale', 1.0)
-        if scales is None:
-            scales = [default] * len(data_nodes)
-        for node, arr, scale in zip(data_nodes, input_arrays, scales):
-            env[node.index] = _wrap_input(node, arr, scale)
+    def _build_keys(self, key_tree):
+        """key pytree → typed KeySwitchKey env (shared by all run modes)."""
         keys = {'rlk': None, 'glk': {}, 'swk': {}}
         for i in self._key_signature_order():
             node = self.data[i]
@@ -436,6 +443,22 @@ class FheTaskTpu:
                 kq, kp = key_tree['swk'][node.id]
                 keys['swk'][node.id] = KeySwitchKey(
                     key_q=kq, key_p=kp, level=node.level, sp_level=node.sp_level)
+        return keys
+
+    def _seed_env(self, input_arrays, scales):
+        env = {}
+        data_nodes = self._data_input_nodes()
+        for node, arr, scale in zip(data_nodes, input_arrays, scales):
+            env[node.index] = _wrap_input(node, arr, scale)
+        return env
+
+    def _trace(self, xp, input_arrays, key_tree, scales=None, progress=None):
+        data_nodes = self._data_input_nodes()
+        default = getattr(self.params, 'scale', 1.0)
+        if scales is None:
+            scales = [default] * len(data_nodes)
+        env = self._seed_env(input_arrays, scales)
+        keys = self._build_keys(key_tree)
         for i, step in enumerate(self.plan):
             step(env, xp, keys)
             if progress is not None:
@@ -445,6 +468,76 @@ class FheTaskTpu:
         self._out_scales[tuple(scales)] = [
             getattr(env[o], 'scale', 1.0) for o in self.outputs]
         return [env[o].data for o in self.outputs]
+
+    # ------------------------------------------------------------------
+    # Partitioned execution: the reference FPGA runner's compile-time graph
+    # partitioning at custom-op barriers (frontend/custom_task.py:2039-2184,
+    # fpga/fpga_wrapper.cpp:166-300) — each maximal custom-free span becomes
+    # one jitted XLA program ("composite kernel"); custom executors run
+    # eagerly on the host between segments, and the segment boundaries are
+    # the ABI-bridge host↔device transfers.
+    # ------------------------------------------------------------------
+    def _segments(self):
+        segs, cur = [], []
+        for i, meta in enumerate(self.plan_meta):
+            if meta['custom']:
+                if cur:
+                    segs.append(('jit', cur))
+                    cur = []
+                segs.append(('custom', [i]))
+            else:
+                cur.append(i)
+        if cur:
+            segs.append(('jit', cur))
+        return segs
+
+    def _run_partitioned(self, input_arrays, key_tree, scales, progress=None):
+        import jax
+        import jax.numpy as jnp
+        env = self._seed_env(input_arrays, scales)
+        if self._jitted is None:
+            self._jitted = {}
+        np_keys = None
+        done = 0
+        for si, (kind, idxs) in enumerate(self._segments()):
+            if kind == 'custom':
+                step = self.plan[idxs[0]]
+                if np_keys is None:
+                    np_keys = self._build_keys(
+                        jax.tree.map(np.asarray, key_tree))
+                for i in self.plan_meta[idxs[0]]['inputs']:
+                    if i in env:                      # device → host (ABI)
+                        env[i] = jax.tree.map(np.asarray, env[i])
+                step(env, np, np_keys)
+            else:
+                in_ids = sorted({i for k in idxs
+                                 for i in self.plan_meta[k]['inputs']
+                                 if i in env})
+                out_ids = sorted({o for k in idxs
+                                  for o in self.plan_meta[k]['outputs']})
+                cache_key = ('seg', si, tuple(scales))
+                fn = self._jitted.get(cache_key)
+                if fn is None:
+                    steps = [self.plan[k] for k in idxs]
+
+                    def seg(sub_env, kt, _steps=steps, _out=tuple(out_ids)):
+                        keys = self._build_keys(kt)
+                        e = dict(sub_env)
+                        for st in _steps:
+                            st(e, jnp, keys)
+                        return {o: e[o] for o in _out}
+
+                    fn = jax.jit(seg)
+                    self._jitted[cache_key] = fn
+                env.update(fn({i: env[i] for i in in_ids}, key_tree))
+            done += len(idxs)
+            if progress is not None:
+                progress(done)
+        self._out_scales[tuple(scales)] = [
+            getattr(env[o], 'scale', 1.0) for o in self.outputs]
+        return [jax.tree.map(np.asarray, env[o]).data
+                if hasattr(env[o], 'data') else np.asarray(env[o])
+                for o in self.outputs]
 
     def _context_key_tree(self, context):
         tree = {'rlk': None, 'glk': {}, 'swk': {}}
@@ -524,6 +617,12 @@ class FheTaskTpu:
                                          progress=wrapped_cb)
             else:
                 out_arrays = self._trace(np, arrays, key_tree, scales)
+        elif self.mode == 'partitioned':
+            total = len(self.plan)
+            cb = (None if progress_cb is None
+                  else (lambda done: progress_cb(done, total)))
+            out_arrays = self._run_partitioned(arrays, key_tree, scales,
+                                               progress=cb)
         else:
             import jax
             import jax.numpy as jnp

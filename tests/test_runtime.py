@@ -201,7 +201,7 @@ def test_hoisted_rotations_task(bfv_setup, tmp_path, mode):
                                       oracles.vec_rotate_col(m, s))
 
 
-@pytest.mark.parametrize('mode', ['eager', 'jit'])
+@pytest.mark.parametrize('mode', ['eager', 'jit', 'partitioned'])
 def test_custom_compute_escape_hatch(bfv_setup, tmp_path, mode):
     """User-defined compute nodes bound to user executors at load time
     (reference: custom_compute + bind_*_task_custom_executors)."""
@@ -443,3 +443,37 @@ def test_ntt_form_rotation_chain(bfv_setup, tmp_path, mode):
         np, Ct(data=plain, level=out.level, is_ntt=True))
     np.testing.assert_array_equal(context.decrypt_decode(norm),
                                   oracles.vec_rotate_col(m, 3))
+
+
+def test_partitioned_mode_host_only_custom(bfv_setup, tmp_path):
+    """Partitioned mode (reference FPGA analog: graph split at custom-op
+    barriers into composite jitted kernels) runs host-ONLY custom executors
+    between device segments — code that cannot trace under jit at all."""
+    fe_param, context = bfv_setup
+
+    def host_neg(xp, engine, inputs, attrs):
+        # deliberately NOT jax-traceable: tolist() forces host values
+        assert xp is np
+        arr = np.asarray(inputs[0].data)
+        assert isinstance(arr.tolist(), list)
+        return engine.add(np, inputs[0], inputs[0])
+
+    def build2():
+        x = ct.BfvCiphertextNode('x', 1)
+        w = ct.rescale(ct.mult_relin(x, x, 'w'), 'wr')
+        y = ct.BfvCiphertextNode('y', 0)
+        ct.custom_compute([w], y, type='host_neg', attributes={})
+        z = ct.add(y, y, 'z')
+        return [ct.Argument('x', x)], [ct.Argument('z', z)]
+
+    task_dir = gen_task(fe_param, build2, tmp_path)
+    kw = dict(custom_executors={'host_neg': host_neg})
+    rng = np.random.default_rng(13)
+    m = rng.integers(0, T, N, dtype=np.uint64)
+    ea = context.encrypt(context.encode(m, 1))
+    ref, _ = FheTaskTpu(task_dir, mode='eager', **kw).run(context, {'x': ea})
+    task = FheTaskTpu(task_dir, mode='partitioned', **kw)
+    assert len(task._segments()) == 3              # device | host | device
+    got, _ = task.run(context, {'x': ea})
+    np.testing.assert_array_equal(context.decrypt_decode(got['z']),
+                                  context.decrypt_decode(ref['z']))
