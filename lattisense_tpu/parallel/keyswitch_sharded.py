@@ -11,9 +11,11 @@ one ciphertext across devices"): one key switch distributed over the mesh's
   partial sum; one ``psum_scatter`` both reduces over devices and lands
   the accumulator sharded over the T = L+|P| output-limb axis — factor-D
   less traffic than an all-reduce;
-- the INTT of the accumulator then runs locally per output-limb shard;
+- the INTT of the accumulator then runs locally per output-limb shard
+  (per-shard twiddle tables sliced inside the mesh body);
 - the final mod-down needs the |P| special limbs everywhere: one small
-  ``all_gather`` of the scattered P-shard rows.
+  psum replicates just those α rows, then each device mod-downs its own
+  q-limb rows — the whole key switch runs inside one shard_map program.
 
 Per-device compute drops from O(β·T·n·log n) to O((β/D)·T·n·log n +
 (T/D)·n·log n); ICI moves 2·T·n/D + |P|·n words.
@@ -30,6 +32,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core import ntt as ntt_mod
 from ..core import u64 as _u
 from ..core.modring import get_rns_ring
+
+
+class _RingView:
+    """Per-shard slice of an RnsRing's constants (duck-typed for
+    core.ntt.intt; ``moduli`` is absent on purpose so the Pallas dispatch
+    gate falls back to the XLA path inside shard_map)."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
 
 
 def _pad_axis(x, axis, size):
@@ -100,6 +111,28 @@ class ShardedKeySwitcher:
             qhat_inv=self.qhat_inv, qhat_inv_shoup=self.qhat_inv_shoup,
             src_q=self.src_q, qhat_conv=self.qhat_conv)
 
+        # epilogue constants, T-padded so per-device tiles slice uniformly
+        def padT(a, fill=0):
+            a = np.asarray(a)
+            out = _pad_axis(a, 0, T_pad).copy()
+            if fill and T_pad > a.shape[0]:
+                out[a.shape[0]:] = fill
+            return out
+
+        pinv_pad = padT(ring_qp.pinv, 1)
+        ninv_pad = padT(ring_qp.n_inv, 1)
+        ninvs_pad = padT(ring_qp.n_inv_shoup)
+        psi_inv_pad = padT(ring_qp.psi_inv_rev)
+        psi_invs_pad = padT(ring_qp.psi_inv_rev_shoup)
+        rd = self.round_div
+        rd_p_q = np.asarray(rd.p_q)                       # (α, 1)
+        rd_half_p = np.asarray(rd.half_p)
+        rd_qhat_inv = np.asarray(rd.conv.qhat_inv)
+        rd_qhat_inv_shoup = np.asarray(rd.conv.qhat_inv_shoup)
+        rd_conv_pad = padT(rd.conv.qhat_dst_mont)         # (T_pad, α)
+        half_q_pad = padT(rd.half_q)
+        pmont_pad = padT(rd.pinv_mont)
+
         def local(x, kd, qhat_inv, qhat_inv_shoup, src_q, qhat_conv):
             """Per-device body. x: (L_pad_src…, n) replicated; kd digit
             shard (β/D, 2, T_pad, n); constants digit-sharded."""
@@ -124,15 +157,51 @@ class ShardedKeySwitcher:
             acc = jax.lax.psum_scatter(acc, 'limb', scatter_dimension=1,
                                        tiled=True)
             # fold the ≤ D·q overflow back below q (log2 D conditional subs)
+            rpd = T_pad // D
             q_loc = jax.lax.dynamic_slice_in_dim(
-                jnp.asarray(qp_q_pad), my * (T_pad // D), T_pad // D, axis=0)
+                jnp.asarray(qp_q_pad), my * rpd, rpd, axis=0)
             d = D
             while d > 1:
                 d //= 2
                 over = acc >= q_loc * jnp.uint64(d)
                 acc = jnp.where(over, acc - q_loc * jnp.uint64(d), acc)
             acc = jnp.where(acc >= q_loc, acc - q_loc, acc)
-            return acc
+
+            # ---- in-mesh epilogue: local INTT on this device's limb rows
+            def sl(a):
+                return jax.lax.dynamic_slice_in_dim(jnp.asarray(a), my * rpd,
+                                                    rpd, axis=0)
+
+            rv = _RingView(q=q_loc.reshape(rpd, 1), pinv=sl(pinv_pad),
+                           n_inv=sl(ninv_pad), n_inv_shoup=sl(ninvs_pad),
+                           psi_inv_rev=sl(psi_inv_pad),
+                           psi_inv_rev_shoup=sl(psi_invs_pad))
+            c = ntt_mod.intt(jnp, acc, rv)                # (2, rpd, n)
+
+            # the |P| special-limb rows must reach every device: each owner
+            # contributes its row, one small psum replicates them (α·2·n
+            # words — the full-T all_gather this replaces is D× larger)
+            p_rows = []
+            for a in range(alpha):
+                r = L + a
+                owner, row_in = r // rpd, r % rpd
+                contrib = jnp.where(my == owner, c[:, row_in], 0)
+                p_rows.append(contrib)
+            c_p = jax.lax.psum(jnp.stack(p_rows, axis=1), 'limb')  # (2, α, n)
+
+            # local mod-down: e = (c_q + half - conv(c_p + half_p)) · P^-1,
+            # constants sliced to this device's limb rows (padded rows are
+            # garbage and discarded on the host)
+            y = _u.shoup_mul(jnp, _u.addmod(jnp, c_p, rd_half_p, rd_p_q),
+                             rd_qhat_inv, rd_qhat_inv_shoup, rd_p_q)
+            conv_loc = _u.modsum_tree(
+                jnp, _u.mont_mul(jnp, y[:, None, :, :], sl(rd_conv_pad)[:, :, None],
+                                 q_loc[:, None, :], sl(pinv_pad)[:, None, :]),
+                q_loc[:, None, :], axis=-2)               # (2, rpd, n)
+            num = _u.submod(jnp, _u.addmod(jnp, c, sl(half_q_pad), q_loc),
+                            conv_loc, q_loc)
+            e = _u.mont_mul(jnp, num, sl(pmont_pad), q_loc, sl(pinv_pad))
+            return e
 
         in_specs = (P(), P('limb'), P('limb'), P('limb'), P('limb'), P('limb'))
         shard_fn = jax.jit(jax.shard_map(
@@ -141,13 +210,9 @@ class ShardedKeySwitcher:
             check_vma=False))
 
         def call(x, kd):
-            acc = shard_fn(x, kd, consts['qhat_inv'], consts['qhat_inv_shoup'],
-                           consts['src_q'], consts['qhat_conv'])
-            acc = np.asarray(acc)[:, :T, :]
-            # host-side epilogue (INTT + mod-down); device epilogue follows
-            # the same sharding in the fused pipeline
-            c = ntt_mod.intt(np, acc, ring_qp)
-            e = self.round_div(np, c[..., :L, :], c[..., L:, :])
+            e = shard_fn(x, kd, consts['qhat_inv'], consts['qhat_inv_shoup'],
+                         consts['src_q'], consts['qhat_conv'])
+            e = np.asarray(e)[:, :L, :]     # drop special + padded limb rows
             return e[0], e[1]
 
         return call
