@@ -53,23 +53,28 @@ def _mont_mul64(ah, al, bh, bl, qh, ql, pvh, pvl):
     return _redc64(hh, hl, lh, ll, qh, ql, pvh, pvl)
 
 
-def _bconv_accum(L, qd_ref, ch_ref, cl_ref, yh_ref, yl_ref):
-    t = pl.program_id(0)
-    qh = qd_ref[t, 0]
-    ql = qd_ref[t, 1]
-    pvh = qd_ref[t, 2]
-    pvl = qd_ref[t, 3]
-    acc_h = acc_l = None
-    for l in range(L):
-        ah = yh_ref[l]
-        al = yl_ref[l]
-        ph_, pl_ = _mont_mul64(ah, al, ch_ref[t, l], cl_ref[t, l],
-                               qh, ql, pvh, pvl)
-        if acc_h is None:
-            acc_h, acc_l = ph_, pl_
-        else:
-            acc_h, acc_l = _addmod64_(acc_h, acc_l, ph_, pl_, qh, ql)
-    return acc_h, acc_l
+def _bconv_kernel(T, L, qd_ref, ch_ref, cl_ref, yh_ref, yl_ref,
+                  oh_ref, ol_ref):
+    """One grid step per batch block: the (L, R, n) source block is read
+    once and all T destination rows are produced from it (the earlier
+    (T, batch) grid re-read the source once per destination limb)."""
+    yh = [yh_ref[l] for l in range(L)]
+    yl = [yl_ref[l] for l in range(L)]
+    for t in range(T):
+        qh = qd_ref[t, 0]
+        ql = qd_ref[t, 1]
+        pvh = qd_ref[t, 2]
+        pvl = qd_ref[t, 3]
+        acc_h = acc_l = None
+        for l in range(L):
+            ph_, pl_ = _mont_mul64(yh[l], yl[l], ch_ref[t, l], cl_ref[t, l],
+                                   qh, ql, pvh, pvl)
+            if acc_h is None:
+                acc_h, acc_l = ph_, pl_
+            else:
+                acc_h, acc_l = _addmod64_(acc_h, acc_l, ph_, pl_, qh, ql)
+        oh_ref[t] = acc_h
+        ol_ref[t] = acc_l
 
 
 @functools.partial(jax.jit, static_argnames=('L', 'T', 'rows_per_block'))
@@ -77,30 +82,23 @@ def _launch(yh, yl, ch, cl, qd, *, L, T, rows_per_block):
     """yh/yl: (L, B, n) u32; out: (T, B, n) u32 pair."""
     B, n = yh.shape[1], yh.shape[2]
     R = rows_per_block
-    grid = (T, B // R)
+    grid = (B // R,)
     interp = jax.default_backend() == 'cpu'
 
     def _im(*vals):
         return tuple(jnp.int32(v) for v in vals)
 
-    src_spec = pl.BlockSpec((L, R, n), lambda t, r: _im(0, r, 0),
+    src_spec = pl.BlockSpec((L, R, n), lambda r: _im(0, r, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, R, n), lambda t, r: _im(t, r, 0),
+    out_spec = pl.BlockSpec((T, R, n), lambda r: _im(0, r, 0),
                             memory_space=pltpu.VMEM)
-    smem = lambda w: pl.BlockSpec((T, w), lambda t, r: _im(0, 0),  # noqa: E731
+    smem = lambda w: pl.BlockSpec((T, w), lambda r: _im(0, 0),  # noqa: E731
                                   memory_space=pltpu.SMEM)
     cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024,
-                                   dimension_semantics=('arbitrary',
-                                                        'arbitrary'))
-
-    def kernel(qd_ref, ch_ref, cl_ref, yh_ref, yl_ref, oh_ref, ol_ref):
-        acc_h, acc_l = _bconv_accum(L, qd_ref, ch_ref, cl_ref, yh_ref,
-                                    yl_ref)
-        oh_ref[...] = acc_h[None]
-        ol_ref[...] = acc_l[None]
+                                   dimension_semantics=('arbitrary',))
 
     oh, ol = pl.pallas_call(
-        kernel,
+        functools.partial(_bconv_kernel, T, L),
         interpret=interp,
         compiler_params=cparams,
         grid=grid,
