@@ -97,6 +97,27 @@ def main():
     t = timeit(ks, xd, iters=4)
     print(f'key_switch (hybrid)           : {t*1e6:9.1f} us')
 
+    # fused Pallas kernels (LATTISENSE_PALLAS dispatch targets), same shapes
+    from lattisense_tpu.ops.bconv_pallas import bconv_convert_fused
+    from lattisense_tpu.ops.ntt_pallas import intt_fused, ntt_fused
+    from lattisense_tpu.core.rns import BasisConv
+    nf = jax.jit(lambda v: ntt_fused(v, ring))
+    t = timeit(nf, xd)
+    print(f'ntt  fused (pallas)           : {t*1e6:9.1f} us  '
+          f'BW {bytes_rw/t/1e9:7.1f} GB/s')
+    inf = jax.jit(lambda v: intt_fused(v, ring))
+    t = timeit(inf, nf(xd))
+    print(f'intt fused (pallas)           : {t*1e6:9.1f} us')
+    dst = gen_ntt_primes(n, 56, L + 1, exclude=tuple(q) + tuple(p))
+    conv = BasisConv(tuple(q), tuple(dst))
+    yd = jnp.asarray(conv.decompose(np, x))
+    cv = jax.jit(lambda v: conv.convert(jnp, v))
+    t = timeit(cv, yd)
+    print(f'bconv {L}->{L+1} (xla)            : {t*1e6:9.1f} us')
+    cf = jax.jit(lambda v: bconv_convert_fused(v, conv))
+    t = timeit(cf, yd)
+    print(f'bconv {L}->{L+1} fused (pallas)   : {t*1e6:9.1f} us')
+
 
 if __name__ == '__main__':
     main()
