@@ -470,14 +470,17 @@ def _itables(ring_key):
 
 def _iphase_a_kernel(logn, rows, qn_ref, xh_ref, xl_ref, lth_ref, ltl_ref,
                      lsh_ref, lsl_ref, oh_ref, ol_ref):
-    """Tile transpose + GS stages t = 1..LANES/2, transpose back."""
+    """GS stages t = 1..LANES/2 on pre-transposed tiles. Both tile
+    transposes live OUTSIDE the kernel (host u64 pre-transpose + u32-plane
+    transpose between phases): in-kernel Mosaic relayouts measured ~3x
+    slower than the XLA transpose."""
     n = 1 << logn
     sub = n // LANES
     limb = pl.program_id(0)
     qh = qn_ref[limb, 0]
     ql = qn_ref[limb, 1]
-    vh = xh_ref[...].reshape(rows, sub, LANES).swapaxes(1, 2)
-    vl = xl_ref[...].reshape(rows, sub, LANES).swapaxes(1, 2)
+    vh = xh_ref[...].reshape(rows, LANES, sub)
+    vl = xl_ref[...].reshape(rows, LANES, sub)
     off = 0
     tb = 1
     while tb < LANES:
@@ -499,8 +502,8 @@ def _iphase_a_kernel(logn, rows, qn_ref, xh_ref, xl_ref, lth_ref, ltl_ref,
         vl = jnp.stack([s_l, d_l], axis=2).reshape(rows, LANES, sub)
         off += cnt
         tb *= 2
-    oh_ref[...] = vh.swapaxes(1, 2).reshape(rows, n)
-    ol_ref[...] = vl.swapaxes(1, 2).reshape(rows, n)
+    oh_ref[...] = vh.reshape(rows, n)
+    ol_ref[...] = vl.reshape(rows, n)
 
 
 def _iphase_b_kernel(logn, rows, qn_ref, xh_ref, xl_ref, iwh_ref, iwl_ref,
@@ -580,6 +583,10 @@ def _ilaunch(xh, xl, iwh, iwl, ish, isl, ilth, iltl, ilsh, ilsl, qn, *,
         out_specs=[row_spec(), row_spec()],
         out_shape=[jax.ShapeDtypeStruct(xh.shape, jnp.uint32)] * 2,
     )(qn, xh, xl, ilth, iltl, ilsh, ilsl)
+    # un-transpose between phases in XLA (u32 planes)
+    sub = n // LANES
+    mh = mh.reshape(-1, LANES, sub).swapaxes(1, 2).reshape(mh.shape[0], n)
+    ml = ml.reshape(-1, LANES, sub).swapaxes(1, 2).reshape(ml.shape[0], n)
 
     out_h, out_l = pl.pallas_call(
         functools.partial(_iphase_b_kernel, logn, R),
@@ -611,6 +618,8 @@ def _intt_fused_impl(x, ring, rows_per_block: int = 8):
         batch_p = batch + pad_rows
     else:
         batch_p = batch
+    # pre-transpose tiles for the sub-LANES phase (see _iphase_a_kernel)
+    xr = xr.reshape(-1, sub, LANES).swapaxes(1, 2).reshape(-1, n)
     xh = (xr >> jnp.uint64(32)).astype(jnp.uint32)
     xl = (xr & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
     oh, ol = _ilaunch(xh, xl, jnp.asarray(iwh), jnp.asarray(iwl),

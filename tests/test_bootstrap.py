@@ -167,3 +167,33 @@ def test_bootstrap_mixed_chain_regions():
     fresh = ctx.bootstrap(ct)
     err = np.max(np.abs(ctx.decrypt_decode(fresh).real - msg))
     assert err < 1e-4, f'mixed-chain bootstrap err {err:.2e}'
+
+
+@pytest.mark.skipif(os.environ.get('LATTISENSE_HEAVY_TESTS', '') == '',
+                    reason='heavy: full-size n=65536 bootstrap, ~50 min CPU; '
+                           'set LATTISENSE_HEAVY_TESTS=1')
+def test_bootstrap_reference_full_profile():
+    """The reference's FULL bootstrap parameter set (n=2^16, 25 limbs).
+
+    Measured (2026-08-17, CPU golden path): level 6 remaining,
+    err 7.6e-3 ≈ 2^-7 — the rotation/rescale-noise floor through the
+    40-bit StC region scales ~√n over the toy profile's 4e-4.
+    """
+    from lattisense_tpu.frontend.custom_task import CkksBtpParam
+    fe = CkksBtpParam.create_default_param()
+    params = CkksParams.create_custom(fe.n, fe.q, fe.p, slots=fe.slots,
+                                      scale=float(fe.scale))
+    cfg = BootstrapConfig(cts_depth=fe.cts_params.depth(),
+                          stc_depth=fe.stc_params.depth(),
+                          k=20, sine_deg=39,
+                          double_angle=fe.eval_mod_params.double_angle,
+                          em_scale=float(fe.eval_mod_params.scaling_factor),
+                          message_ratio=fe.eval_mod_params.message_ratio)
+    ctx = CkksBtpContext.create_random_context(params, seed=77, h=192,
+                                               btp_config=cfg)
+    rng = np.random.default_rng(7)
+    msg = rng.uniform(-1, 1, params.slots)
+    fresh = ctx.bootstrap(ctx.encrypt(ctx.encode(msg, 0)))
+    err = np.max(np.abs(ctx.decrypt_decode(fresh).real - msg))
+    assert fresh.level >= 5, f'too few levels left ({fresh.level})'
+    assert err < 5e-2, f'full-profile bootstrap err {err:.2e}'
