@@ -18,7 +18,7 @@ import os
 import numpy as np
 
 from . import u64 as _u
-from ..params import MTILDE, MTILDE_BITS
+from ..params import MTILDE
 
 _U64 = np.uint64
 

@@ -14,7 +14,7 @@ client/server protocols (reference: fhe_lib_v2.h:392).
 
 import numpy as np
 
-from ..params import BfvParams, CkksParams
+from ..params import BfvParams
 from ..schemes import keys as K
 from ..schemes.bfv import BfvEngine
 from ..schemes.ckks import CkksEngine

@@ -27,7 +27,7 @@ import time
 
 import numpy as np
 
-from ..params import params_from_task_json, BfvParams
+from ..params import params_from_task_json
 from ..schemes.bfv import BfvEngine
 from ..schemes.ckks import CkksEngine
 from ..schemes.types import (Ciphertext, KeySwitchKey, Plaintext, PlaintextMul,

@@ -15,7 +15,6 @@ requires the diagonal pre-rotated by -g at encode time.
 
 import numpy as np
 
-from ..core import u64 as _u
 from .types import Ciphertext
 
 
