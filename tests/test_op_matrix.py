@@ -202,3 +202,51 @@ def test_ckks_op_matrix(ckks, tmp_path, case):
     outputs = run_graph(fe, ctx, build, values, tmp_path)
     got = ctx.decrypt_decode(outputs['out']).real
     np.testing.assert_allclose(got, oracle(*msgs), atol=1e-4)
+
+
+def test_fpga_param_chain_31bit():
+    """The reference's FPGA-pinned parameter family (31-bit NTT primes,
+    frontend create_fpga_param) through the engine: BFV mult_relin +
+    rotation stay exact on a 31-bit chain (primes ≡ 1 mod 2^14 also serve
+    any smaller power-of-two ring)."""
+    from lattisense_tpu.frontend import custom_task as fct
+    fe = fct.BfvParam.create_fpga_param()
+    assert fe.n == 8192 and len(fe.q) == 6 and fe.t == 0x1B4001
+    assert all(q.bit_length() == 31 for q in fe.q)
+    n = 512
+    params = BfvParams.create_custom(n, fe.t, fe.q, fe.p)
+    ctx = BfvContext.create_random_context(params, seed=31)
+    ctx.gen_rotation_keys_for_rotations([1])
+    rng = np.random.default_rng(0)
+    m1 = rng.integers(0, fe.t, n, dtype=np.uint64)
+    m2 = rng.integers(0, fe.t, n, dtype=np.uint64)
+    prod = ctx.rescale(ctx.mult_relin(ctx.encrypt(ctx.encode(m1)),
+                                      ctx.encrypt(ctx.encode(m2))))
+    exp = (m1.astype(object) * m2.astype(object)) % fe.t
+    np.testing.assert_array_equal(
+        ctx.decrypt_decode(prod).astype(object), exp)
+    rot = ctx.rotate_cols(prod, 1)
+    np.testing.assert_array_equal(
+        ctx.decrypt_decode(rot).astype(object),
+        oracles.vec_rotate_col(exp, 1))
+
+
+def test_rotation_sweep():
+    """Rotation sweep over many steps incl. negatives and composites
+    (reference FPGA suites sweep 128 steps, test_fpga_bfv.py:310-414):
+    every NAF decomposition path against the plain oracle."""
+    n = 256
+    q = gen_ntt_primes(n, 50, 4)
+    p = gen_ntt_primes(n, 51, 1, exclude=tuple(q))
+    params = BfvParams.create_custom(n, 65537, q, p)
+    ctx = BfvContext.create_random_context(params, seed=41)
+    steps = [1, 2, 3, 5, 7, 12, 31, 60, 63, 64, 100, 127,
+             -1, -3, -17, -64]
+    ctx.gen_rotation_keys_for_rotations(steps)
+    rng = np.random.default_rng(1)
+    m = rng.integers(0, 65537, n, dtype=np.uint64)
+    ctv = ctx.encrypt(ctx.encode(m))
+    for s in steps:
+        got = ctx.decrypt_decode(ctx.rotate_cols(ctv, s))
+        np.testing.assert_array_equal(got, oracles.vec_rotate_col(m, s),
+                                      err_msg=f'step {s}')
