@@ -26,6 +26,12 @@ _USE_NATIVE = os.environ.get('LATTISENSE_NO_NATIVE', '') in ('', '0')
 _USE_PALLAS = (os.environ.get('LATTISENSE_PALLAS_NTT',
                               os.environ.get('LATTISENSE_PALLAS', '0'))
                not in ('', '0'))
+# the inverse kernel is only at parity with XLA so far (NOTES.md) — it can
+# be disabled independently while the forward stays fused
+_USE_PALLAS_INTT = (os.environ.get('LATTISENSE_PALLAS_INTT',
+                                   os.environ.get('LATTISENSE_PALLAS_NTT',
+                                                  os.environ.get('LATTISENSE_PALLAS', '0')))
+                    not in ('', '0'))
 
 
 def _native():
@@ -77,7 +83,7 @@ def intt(xp, x, ring):
         nat = _native()
         if nat is not None:
             return nat.ntt_inverse(x, ring)
-    if _pallas_ok(xp, x.shape[-1]):
+    if _pallas_ok(xp, x.shape[-1]) and _USE_PALLAS_INTT:
         from ..ops.ntt_pallas import intt_fused
         return intt_fused(x, ring)
     n = x.shape[-1]
