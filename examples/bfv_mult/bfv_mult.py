@@ -9,21 +9,23 @@ import os
 import sys
 import tempfile
 
-sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..', '..'))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from _common import bfv_params, example_args  # noqa: E402
 
-import numpy as np
-
-from lattisense_tpu.frontend import custom_task as ct
-from lattisense_tpu.params import BfvParams
-from lattisense_tpu.runtime import BfvContext, FheTaskTpu
+import numpy as np  # noqa: E402
 
 
 def main():
-    n, level = 16384, 3
+    args = example_args('BFV homomorphic multiply')
+    from lattisense_tpu.frontend import custom_task as ct
+    from lattisense_tpu.runtime import BfvContext, FheTaskTpu
+
+    level = 3
+    fe_param, params = bfv_params(args.n, args.toy)
     task_dir = tempfile.mkdtemp(prefix='bfv_mult_task_')
 
     # --- compile (frontend) ---
-    ct.set_fhe_param(ct.BfvParam.create_default_param(n=n))
+    ct.set_fhe_param(fe_param)
     x = ct.BfvCiphertextNode('x', level)
     y = ct.BfvCiphertextNode('y', level)
     z = ct.mult_relin(x, y, 'z')
@@ -32,7 +34,6 @@ def main():
     print(f'task compiled -> {task_dir}')
 
     # --- run (runtime) ---
-    params = BfvParams.create(n)
     context = BfvContext.create_random_context(params, seed=1)
     task = FheTaskTpu(task_dir)
 
