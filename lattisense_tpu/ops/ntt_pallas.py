@@ -668,3 +668,258 @@ def ntt_fused(x, ring, rows_per_block: int = 8):
 def intt_fused(x, ring, rows_per_block: int = 8):
     """Drop-in inverse NTT over (..., L, n) u64 (vmap-collapsing)."""
     return _vmap_entry(ring, rows_per_block, _intt_fused_impl, 'inv')(x)
+
+
+
+
+# ---------------------------------------------------------------------------
+# fast inverse: bit-reversal-conjugated GS with DESCENDING distances.
+# Measured: Mosaic compiles stage sequences with shrinking butterfly
+# distances ~5x faster than growing ones, and the GS/CT butterfly order
+# itself is within 7%. The natural GS inverse ascends (t = 1 → n/2), so we
+# run P∘GS∘P instead: pairs at descending physical distances, twiddles
+# index-permuted per (group, lane) — verified exactly against core intt
+# (x = P(conj(P(X))), conj stage T uses W[g,i] = ψ^-1_rev[m_core +
+# (brv(g·2T+i) >> (k+1))], k = logn-1-log2(T)).
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _ctables(ring_key):
+    ring, = _RING_STASH[ring_key]
+    n = ring.n
+    L = len(ring.moduli)
+    logn = n.bit_length() - 1
+    sub = n // LANES
+
+    def split(a):
+        a = np.ascontiguousarray(a, dtype=np.uint64)
+        return ((a >> np.uint64(32)).astype(np.uint32),
+                (a & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+
+    # brv table once
+    brv = np.zeros(n, dtype=np.int64)
+    for bit in range(logn):
+        brv |= ((np.arange(n) >> bit) & 1) << (logn - 1 - bit)
+
+    tinv = np.asarray(ring.psi_inv_rev)            # (L, n)
+    tinv_s = np.asarray(ring.psi_inv_rev_shoup)
+
+    def stage_idx(T, transposed):
+        T = int(T)
+        k = logn - 1 - (T.bit_length() - 1)        # core stage t = 2^k
+        m_core = n >> (k + 1)
+        if not transposed:
+            m = n // (2 * T)
+            p = (np.arange(m)[:, None] * 2 * T +
+                 np.arange(T)[None, :]).reshape(-1)
+        else:
+            mb = LANES // (2 * T)
+            p = (np.arange(mb)[:, None, None] * 2 * T +
+                 np.arange(T)[None, :, None] +
+                 np.arange(sub)[None, None, :] * LANES).reshape(-1)
+        return m_core + (brv[p] >> (k + 1))
+
+    idx1 = np.concatenate([stage_idx(T, False)
+                           for T in (1 << np.arange(logn - 1, 6, -1))])
+    idx2 = np.concatenate([stage_idx(T, True)
+                           for T in (1 << np.arange(6, -1, -1))])
+    w1h, w1l = split(tinv[:, idx1])
+    s1h, s1l = split(tinv_s[:, idx1])
+    w2h, w2l = split(tinv[:, idx2])
+    s2h, s2l = split(tinv_s[:, idx2])
+
+    def cols(a):
+        a = np.asarray(a, dtype=np.uint64).reshape(-1)
+        return ((a >> np.uint64(32)).astype(np.uint32),
+                (a & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+
+    qh, ql = cols(ring.q)
+    nih, nil = cols(ring.n_inv)
+    nsh, nsl = cols(ring.n_inv_shoup)
+    qn = np.stack([qh, ql, nih, nil, nsh, nsl], axis=1)   # (L, 6)
+    return (logn, L, sub, w1h, w1l, s1h, s1l, w2h, w2l, s2h, s2l, qn)
+
+
+def _cinv1_kernel(logn, rows, qn_ref, xh_ref, xl_ref, wh_ref, wl_ref,
+                  sh_ref, sl_ref, oh_ref, ol_ref):
+    """Conjugated-GS stages, distances n/2 .. LANES (natural layout)."""
+    n = 1 << logn
+    limb = pl.program_id(0)
+    qh = qn_ref[limb, 0]
+    ql = qn_ref[limb, 1]
+    vh = xh_ref[...]
+    vl = xl_ref[...]
+    off = 0
+    t = n
+    while t > LANES:
+        t //= 2
+        m = n // (2 * t)
+        sh4 = (rows, m, 2, t)
+        ph = vh.reshape(sh4)
+        plv = vl.reshape(sh4)
+        cnt = m * t
+        wh = wh_ref[0, 0, off:off + cnt].reshape(1, m, t)
+        wl = wl_ref[0, 0, off:off + cnt].reshape(1, m, t)
+        swh = sh_ref[0, 0, off:off + cnt].reshape(1, m, t)
+        swl = sl_ref[0, 0, off:off + cnt].reshape(1, m, t)
+        uh, ul = ph[:, :, 0], plv[:, :, 0]
+        bh, bl = ph[:, :, 1], plv[:, :, 1]
+        s_h, s_l = _addmod64(uh, ul, bh, bl, qh, ql)
+        dh, dl = _submod64(uh, ul, bh, bl, qh, ql)
+        d_h, d_l = _shoup_mul64(dh, dl, wh, wl, swh, swl, qh, ql)
+        vh = jnp.stack([s_h, d_h], axis=2).reshape(rows, n)
+        vl = jnp.stack([s_l, d_l], axis=2).reshape(rows, n)
+        off += cnt
+    oh_ref[...] = vh
+    ol_ref[...] = vl
+
+
+def _cinv2_kernel(logn, rows, qn_ref, xh_ref, xl_ref, wh_ref, wl_ref,
+                  sh_ref, sl_ref, oh_ref, ol_ref):
+    """Tile transpose + conjugated-GS stages LANES/2 .. 1, then n^-1."""
+    n = 1 << logn
+    sub = n // LANES
+    limb = pl.program_id(0)
+    qh = qn_ref[limb, 0]
+    ql = qn_ref[limb, 1]
+    vh = xh_ref[...].reshape(rows, sub, LANES).swapaxes(1, 2)
+    vl = xl_ref[...].reshape(rows, sub, LANES).swapaxes(1, 2)
+    off = 0
+    tb = LANES
+    while tb > 1:
+        tb //= 2
+        mb = LANES // (2 * tb)
+        sh5 = (rows, mb, 2, tb, sub)
+        ph = vh.reshape(sh5)
+        plv = vl.reshape(sh5)
+        cnt = mb * tb * sub
+        wh = wh_ref[0, 0, off:off + cnt].reshape(1, mb, tb, sub)
+        wl = wl_ref[0, 0, off:off + cnt].reshape(1, mb, tb, sub)
+        swh = sh_ref[0, 0, off:off + cnt].reshape(1, mb, tb, sub)
+        swl = sl_ref[0, 0, off:off + cnt].reshape(1, mb, tb, sub)
+        uh, ul = ph[:, :, 0], plv[:, :, 0]
+        bh, bl = ph[:, :, 1], plv[:, :, 1]
+        s_h, s_l = _addmod64(uh, ul, bh, bl, qh, ql)
+        dh, dl = _submod64(uh, ul, bh, bl, qh, ql)
+        d_h, d_l = _shoup_mul64(dh, dl, wh, wl, swh, swl, qh, ql)
+        vh = jnp.stack([s_h, d_h], axis=2).reshape(rows, LANES, sub)
+        vl = jnp.stack([s_l, d_l], axis=2).reshape(rows, LANES, sub)
+        off += cnt
+    nih = qn_ref[limb, 2]
+    nil = qn_ref[limb, 3]
+    nsh = qn_ref[limb, 4]
+    nsl = qn_ref[limb, 5]
+    vh, vl = _shoup_mul64(vh, vl, nih, nil, nsh, nsl, qh, ql)
+    oh_ref[...] = vh.reshape(rows, n)
+    ol_ref[...] = vl.reshape(rows, n)
+
+
+@functools.partial(jax.jit, static_argnames=('logn', 'L', 'rows_per_block'))
+def _claunch(xh, xl, w1h, w1l, s1h, s1l, w2h, w2l, s2h, s2l, qn, *,
+             logn, L, rows_per_block):
+    n = 1 << logn
+    total_rows = xh.shape[0] // L
+    grid = (L, total_rows // rows_per_block)
+    R = rows_per_block
+    n1 = w1h.shape[-1]
+    n2 = w2h.shape[-1]
+    w1h, w1l, s1h, s1l = (a.reshape(L, 1, n1) for a in (w1h, w1l, s1h, s1l))
+    w2h, w2l, s2h, s2l = (a.reshape(L, 1, n2) for a in (w2h, w2l, s2h, s2l))
+    interp = jax.default_backend() == 'cpu'
+
+    def _im(*vals):
+        return tuple(jnp.int32(v) for v in vals)
+
+    def row_spec():
+        bpl = total_rows // R
+        return pl.BlockSpec((R, n), lambda l, r: _im(l * bpl + r, 0),
+                            memory_space=pltpu.VMEM)
+
+    def tbl_spec(width):
+        return pl.BlockSpec((1, 1, width), lambda l, r: _im(l, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    smem_qn = pl.BlockSpec((L, 6), lambda l, r: _im(0, 0),
+                           memory_space=pltpu.SMEM)
+    cparams = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024,
+                                   dimension_semantics=('arbitrary',
+                                                        'arbitrary'))
+    mh, ml = pl.pallas_call(
+        functools.partial(_cinv1_kernel, logn, R),
+        interpret=interp,
+        compiler_params=cparams,
+        grid=grid,
+        in_specs=[smem_qn, row_spec(), row_spec(),
+                  tbl_spec(n1), tbl_spec(n1), tbl_spec(n1), tbl_spec(n1)],
+        out_specs=[row_spec(), row_spec()],
+        out_shape=[jax.ShapeDtypeStruct(xh.shape, jnp.uint32)] * 2,
+    )(qn, xh, xl, w1h, w1l, s1h, s1l)
+    oh, ol = pl.pallas_call(
+        functools.partial(_cinv2_kernel, logn, R),
+        interpret=interp,
+        compiler_params=cparams,
+        grid=grid,
+        in_specs=[smem_qn, row_spec(), row_spec(),
+                  tbl_spec(n2), tbl_spec(n2), tbl_spec(n2), tbl_spec(n2)],
+        out_specs=[row_spec(), row_spec()],
+        out_shape=[jax.ShapeDtypeStruct(xh.shape, jnp.uint32)] * 2,
+    )(qn, mh, ml, w2h, w2l, s2h, s2l)
+    return oh, ol
+
+
+@functools.lru_cache(maxsize=None)
+def _brv_perm(n: int):
+    """Axis permutations realizing brv(a·(n/128) + b) = brv_h(b)·128 +
+    brv_7(a) for the two-axis tile view."""
+    sub = n // LANES
+    h = sub.bit_length() - 1
+
+    def brv(x, bits):
+        return int(format(x, f'0{bits}b')[::-1], 2) if bits else 0
+
+    p7 = np.array([brv(i, 7) for i in range(LANES)])
+    ph = np.array([brv(i, h) for i in range(sub)])
+    return p7, ph
+
+
+def _brv_apply(x, n):
+    """Bit-reversal permutation of the last axis (two gathers + transpose
+    in XLA)."""
+    p7, ph = _brv_perm(n)
+    sub = n // LANES
+    x3 = x.reshape(*x.shape[:-1], LANES, sub)
+    x3 = jnp.take(x3, jnp.asarray(p7), axis=-2)
+    x3 = jnp.take(x3, jnp.asarray(ph), axis=-1)
+    return jnp.swapaxes(x3, -1, -2).reshape(*x.shape[:-1], n)
+
+
+def _intt_conj_impl(x, ring, rows_per_block: int = 8):
+    """Inverse NTT via bit-reversal conjugation — bit-identical to
+    core.ntt.intt, descending-distance kernels."""
+    key = _stash(ring)
+    (logn, L, sub, w1h, w1l, s1h, s1l, w2h, w2l, s2h, s2l, qn) = \
+        _ctables(key)
+    n = 1 << logn
+    shape = x.shape
+    batch = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    xr = jnp.moveaxis(x.reshape(batch, L, n), 1, 0).reshape(L * batch, n)
+    xr = _brv_apply(xr, n)                       # P
+    pad_rows = (-batch) % rows_per_block
+    if pad_rows:
+        xr = xr.reshape(L, batch, n)
+        xr = jnp.pad(xr, ((0, 0), (0, pad_rows), (0, 0))).reshape(-1, n)
+        batch_p = batch + pad_rows
+    else:
+        batch_p = batch
+    xh = (xr >> jnp.uint64(32)).astype(jnp.uint32)
+    xl = (xr & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    oh, ol = _claunch(xh, xl, jnp.asarray(w1h), jnp.asarray(w1l),
+                      jnp.asarray(s1h), jnp.asarray(s1l), jnp.asarray(w2h),
+                      jnp.asarray(w2l), jnp.asarray(s2h), jnp.asarray(s2l),
+                      jnp.asarray(qn), logn=logn, L=L,
+                      rows_per_block=rows_per_block)
+    out = oh.astype(jnp.uint64) << jnp.uint64(32) | ol.astype(jnp.uint64)
+    out = out.reshape(-1, LANES, sub).swapaxes(1, 2).reshape(-1, n)
+    out = _brv_apply(out, n)                     # P again
+    out = out.reshape(L, batch_p, n)[:, :batch]
+    return jnp.moveaxis(out, 0, 1).reshape(shape)

@@ -106,3 +106,20 @@ def test_fused_ntt_under_vmap():
     ref = ntt_mod.ntt(np, x, ring)
     got = np.asarray(jax.vmap(lambda v: ntt_fused(v, ring))(jnp.asarray(x)))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_conjugated_inverse_bitexact():
+    """The descending-distance (bit-reversal-conjugated GS) inverse is
+    bit-identical to core intt (both ring sizes exercise the two brv-axis
+    splits)."""
+    from lattisense_tpu.ops.ntt_pallas import _intt_conj_impl
+    for n in (2048, 4096):
+        L = 2
+        q = gen_ntt_primes(n, 55, L)
+        ring = get_rns_ring(tuple(q), n)
+        rng = np.random.default_rng(n)
+        x = np.stack([np.stack([rng.integers(0, qi, n, dtype=np.uint64)
+                                for qi in q]) for _ in range(2)])
+        ref = ntt_mod.intt(np, x, ring)
+        got = np.asarray(_intt_conj_impl(jnp.asarray(x), ring))
+        np.testing.assert_array_equal(got, ref)
