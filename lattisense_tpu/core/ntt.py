@@ -77,6 +77,50 @@ def ntt(xp, x, ring):
     return x
 
 
+def _brv_transpose(xp, x, n):
+    """Bit-reversal of the last axis as one (2,)*logn axis-reversal
+    transpose (a tiled relayout — far cheaper than a gather on TPU)."""
+    logn = n.bit_length() - 1
+    lead = x.shape[:-1]
+    k = len(lead)
+    x = x.reshape(*lead, *((2,) * logn))
+    perm = tuple(range(k)) + tuple(range(k + logn - 1, k - 1, -1))
+    return x.transpose(perm).reshape(*lead, n)
+
+
+def _conj_inv_tables(ring):
+    """Per-stage twiddles for the bit-reversal-conjugated (descending
+    distance) inverse: W_T[l, g, i] = psi_inv_rev[l, m_core +
+    (brv(g·2T+i) >> (k+1))], k = logn-1-log2(T). Conjugation turns the
+    GS inverse's ASCENDING butterfly distances into descending ones —
+    XLA (like Mosaic) runs ascending stage sequences ~3x slower."""
+    cache = getattr(ring, '_conj_inv_tables', None)
+    if cache is not None:
+        return cache
+    import numpy as np
+    n = ring.n
+    logn = n.bit_length() - 1
+    brv = np.zeros(n, dtype=np.int64)
+    for bit in range(logn):
+        brv |= ((np.arange(n) >> bit) & 1) << (logn - 1 - bit)
+    tinv = np.asarray(ring.psi_inv_rev)
+    tinv_s = np.asarray(ring.psi_inv_rev_shoup)
+    tables = {}
+    T = n // 2
+    while T >= 1:
+        k = logn - 1 - (T.bit_length() - 1)
+        m_core = n >> (k + 1)
+        m = n // (2 * T)
+        p = (np.arange(m)[:, None] * 2 * T + np.arange(T)[None, :]).reshape(-1)
+        idx = m_core + (brv[p] >> (k + 1))
+        L = tinv.shape[0]
+        tables[T] = (tinv[:, idx].reshape(L, m, T),
+                     tinv_s[:, idx].reshape(L, m, T))
+        T //= 2
+    ring._conj_inv_tables = tables
+    return tables
+
+
 def intt(xp, x, ring):
     """Inverse negacyclic NTT. Input bit-reversed, output natural, scaled by n^-1."""
     if xp.__name__ == 'numpy':
@@ -86,6 +130,11 @@ def intt(xp, x, ring):
     if _pallas_ok(xp, x.shape[-1]) and _USE_PALLAS_INTT:
         from ..ops.ntt_pallas import intt_fused
         return intt_fused(x, ring)
+    if (xp.__name__ != 'numpy' and x.shape[-1] >= 4
+            and getattr(ring, 'moduli', None) is not None):
+        # conjugated fast path needs host-precomputed tables; duck-typed
+        # per-shard ring views (traced slices) take the plain formulation
+        return _intt_conj(xp, x, ring)
     n = x.shape[-1]
     L = x.shape[-2]
     batch = x.shape[:-2]
@@ -106,5 +155,31 @@ def intt(xp, x, ring):
         x = xp.stack([hi, lo], axis=-2).reshape(*batch, L, n)
         t *= 2
         m //= 2
+    q2 = ring.q.reshape(L, 1)
+    return _u.shoup_mul(xp, x, ring.n_inv, ring.n_inv_shoup, q2)
+
+
+def _intt_conj(xp, x, ring):
+    """Conjugated inverse for the device path: x = n^-1·P(conj(P(X))),
+    stages at DESCENDING distances (see _conj_inv_tables). Bit-identical
+    to the ascending GS formulation (all ops exact mod q)."""
+    n = x.shape[-1]
+    L = x.shape[-2]
+    batch = x.shape[:-2]
+    q = ring.q.reshape(L, 1, 1)
+    tables = _conj_inv_tables(ring)
+    x = _brv_transpose(xp, x, n)
+    T = n // 2
+    while T >= 1:
+        m = n // (2 * T)
+        xv = x.reshape(*batch, L, m, 2, T)
+        w, w_sh = tables[T]
+        u_ = xv[..., 0, :]
+        v = xv[..., 1, :]
+        hi = _u.addmod(xp, u_, v, q)
+        lo = _u.shoup_mul(xp, _u.submod(xp, u_, v, q), w, w_sh, q)
+        x = xp.stack([hi, lo], axis=-2).reshape(*batch, L, n)
+        T //= 2
+    x = _brv_transpose(xp, x, n)
     q2 = ring.q.reshape(L, 1)
     return _u.shoup_mul(xp, x, ring.n_inv, ring.n_inv_shoup, q2)
