@@ -26,6 +26,8 @@ _USE_NATIVE = os.environ.get('LATTISENSE_NO_NATIVE', '') in ('', '0')
 _USE_PALLAS = (os.environ.get('LATTISENSE_PALLAS_NTT',
                               os.environ.get('LATTISENSE_PALLAS', '0'))
                not in ('', '0'))
+_USE_CONJ_INTT = (os.environ.get('LATTISENSE_CONJ_INTT', '0')
+                  not in ('', '0'))
 # the inverse kernel is only at parity with XLA so far (NOTES.md) — it can
 # be disabled independently while the forward stays fused
 _USE_PALLAS_INTT = (os.environ.get('LATTISENSE_PALLAS_INTT',
@@ -130,10 +132,13 @@ def intt(xp, x, ring):
     if _pallas_ok(xp, x.shape[-1]) and _USE_PALLAS_INTT:
         from ..ops.ntt_pallas import intt_fused
         return intt_fused(x, ring)
-    if (xp.__name__ != 'numpy' and x.shape[-1] >= 4
+    if (_USE_CONJ_INTT and xp.__name__ != 'numpy' and x.shape[-1] >= 4
             and getattr(ring, 'moduli', None) is not None):
-        # conjugated fast path needs host-precomputed tables; duck-typed
-        # per-shard ring views (traced slices) take the plain formulation
+        # 3.5x faster ISOLATED (2.0 vs 7.1 ms at B=32/L=4) but its two P
+        # transposes break XLA's cross-op fusion: the full mult_relin
+        # bench REGRESSED 359 -> 305 ops/s, so the default stays off.
+        # (The ascending formulation's stages fuse with neighboring
+        # elementwise ops; its isolated cost overstates its graph cost.)
         return _intt_conj(xp, x, ring)
     n = x.shape[-1]
     L = x.shape[-2]

@@ -123,3 +123,17 @@ def test_conjugated_inverse_bitexact():
         ref = ntt_mod.intt(np, x, ring)
         got = np.asarray(_intt_conj_impl(jnp.asarray(x), ring))
         np.testing.assert_array_equal(got, ref)
+
+
+def test_xla_conjugated_inverse_bitexact():
+    """The env-gated XLA conjugated inverse (core.ntt._intt_conj) is
+    bit-identical to the ascending formulation."""
+    import lattisense_tpu.core.ntt as core_ntt2
+    n, L = 4096, 3
+    q = gen_ntt_primes(n, 55, L)
+    ring = get_rns_ring(tuple(q), n)
+    rng = np.random.default_rng(17)
+    x = np.stack([rng.integers(0, qi, n, dtype=np.uint64) for qi in q])[None]
+    ref = core_ntt2.intt(np, x, ring)
+    got = np.asarray(core_ntt2._intt_conj(jnp, jnp.asarray(x), ring))
+    np.testing.assert_array_equal(got, ref)
