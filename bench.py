@@ -13,6 +13,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -31,7 +32,7 @@ def main():
     ctx = BfvContext.create_random_context(params, seed=7)
     eng = ctx.engine
 
-    batch = 32
+    batch = int(os.environ.get('LATTISENSE_BENCH_BATCH', '32'))
     rng = np.random.default_rng(0)
     msgs = rng.integers(0, params.t, (2 * batch, params.n), dtype=np.uint64)
     cts = [ctx.encrypt(ctx.encode(m, level)) for m in msgs]
