@@ -17,6 +17,7 @@ Grid: (T, row-blocks); the per-(t, l) constants live in SMEM.
 """
 
 import functools
+import weakref
 
 import numpy as np
 
@@ -116,8 +117,9 @@ def _split64(a):
 
 
 def _consts(conv):
-    key = id(conv)
-    hit = _CONST_CACHE.get(key)
+    # WeakKeyDictionary: keyed by the BasisConv itself so a GC'd conv can
+    # never alias a new object's id and serve stale constants.
+    hit = _CONST_CACHE.get(conv)
     if hit is not None:
         return hit
     C = np.asarray(conv.qhat_dst_mont, dtype=np.uint64)          # (T, L)
@@ -130,11 +132,11 @@ def _consts(conv):
                    (pv >> np.uint64(32)).astype(np.uint32),
                    (pv & np.uint64(0xFFFFFFFF)).astype(np.uint32)], axis=1)
     out = (ch, cl, qd, C.shape[0], C.shape[1])
-    _CONST_CACHE[key] = out
+    _CONST_CACHE[conv] = out
     return out
 
 
-_CONST_CACHE: dict = {}
+_CONST_CACHE = weakref.WeakKeyDictionary()
 
 
 def _bconv_raw_impl(y, ch, cl, qd, T, L, rows_per_block: int = 8):

@@ -16,6 +16,7 @@ import numpy as np
 
 from ..params import BfvParams
 from ..schemes import keys as K
+from ..utils.csprng import default_crypto_rng
 from ..schemes.bfv import BfvEngine
 from ..schemes.ckks import CkksEngine
 from ..schemes.galois import galois_elt_col, galois_elt_row
@@ -30,7 +31,9 @@ class FheContext:
     def __init__(self, params, seed=None):
         self.params = params
         self.engine = self.engine_cls(params)
-        self.rng = np.random.default_rng(seed)
+        # CSPRNG for all secret sampling (keys, noise, compressed-ct seeds);
+        # reference parity: Lattigo's cryptographic samplers, not PCG64.
+        self.rng = default_crypto_rng(seed)
         self.sk = None
         self.pk = None
         self.rlk = None
@@ -85,7 +88,11 @@ class FheContext:
     def make_public_context(self):
         """Evaluation-only copy: public/eval keys, no secret key."""
         pub = type(self)(self.params)
-        pub.pk, pub.rlk, pub.glk, pub.swk = self.pk, self.rlk, self.glk, self.swk
+        pub.pk, pub.rlk = self.pk, self.rlk
+        # Shallow-copy the key containers so keys generated later on either
+        # context never leak into (or mutate) the other.
+        pub.glk = GaloisKeys(dict(self.glk.keys))
+        pub.swk = dict(self.swk)
         return pub
 
     @property

@@ -190,7 +190,11 @@ class BfvEngine:
         level = pt.level
         ring = self.ring(level)
         q_mods = self.q[:level + 1]
-        seed = int(rng.integers(0, 1 << 62)) if seed is None else seed
+        if seed is None:
+            # 128-bit seed for the seed-expanded c1 (CSPRNG path when the
+            # context rng is a CryptoRng; tests may pass plain np rngs).
+            seed = (rng.seed_128() if hasattr(rng, 'seed_128')
+                    else int(rng.integers(0, 1 << 62)))
         a_ntt = expand_uniform(seed, q_mods, self.n)
         s_ntt = sk.ntt_form(tuple(q_mods), self.n)
         as_ = ntt_mod.intt(np, _u.mulmod(np, a_ntt, s_ntt, ring.q, ring.pinv, ring.r2), ring)
@@ -418,8 +422,13 @@ class BfvEngine:
                           level=ct.level, is_ntt=ct.is_ntt)
 
     def drop_level(self, xp, ct: Ciphertext, levels: int = 1) -> Ciphertext:
-        return Ciphertext(data=ct.data[..., :ct.level + 1 - levels, :],
-                          level=ct.level - levels, is_ntt=ct.is_ntt)
+        # Limb truncation is NOT a valid BFV level drop: Δ = round(Q/t)
+        # changes with Q, so the truncated ct decrypts incorrectly. The
+        # graph runtime rejects drop_level on BFV for the same reason; a
+        # proper BFV modulus switch would need Δ rescaling.
+        raise NotImplementedError(
+            'drop_level is not supported for BFV (Delta = round(Q/t) changes '
+            'with Q); use CKKS drop_level or a full BFV modulus switch')
 
     # ---- ciphertext form conversions (reference ops to_ntt/to_mf/to_mul,
     # frontend/custom_task.py:1105-1136; used by the FPGA-format test matrix) --

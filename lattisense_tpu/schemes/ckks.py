@@ -105,7 +105,10 @@ class CkksEngine:
         level = pt.level
         ring = self.ring(level)
         q_mods = self.q[:level + 1]
-        seed = int(rng.integers(0, 1 << 62)) if seed is None else seed
+        if seed is None:
+            # 128-bit seed for the seed-expanded c1 (see bfv.py counterpart).
+            seed = (rng.seed_128() if hasattr(rng, 'seed_128')
+                    else int(rng.integers(0, 1 << 62)))
         a_ntt = expand_uniform(seed, q_mods, self.n)
         s_ntt = sk.ntt_form(tuple(q_mods), self.n)
         as_ = _u.mulmod(np, a_ntt, s_ntt, ring.q, ring.pinv, ring.r2)

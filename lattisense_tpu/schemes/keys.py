@@ -49,8 +49,11 @@ def sample_ternary(rng, n: int, h: int | None = None) -> np.ndarray:
     return coeffs
 
 
-def sample_gaussian(rng, n: int) -> np.ndarray:
-    return np.round(rng.normal(0.0, SIGMA, size=n)).astype(np.int64)
+def sample_gaussian(rng, n: int, sigma: float = SIGMA) -> np.ndarray:
+    """Discrete gaussian; ``sigma`` > SIGMA gives the smudging/flooding
+    distribution used by multiparty partial decryptions (reference:
+    sigma_smudging on DBfvContext::create_random_context, fhe_lib_v2.h:716)."""
+    return np.round(rng.normal(0.0, sigma, size=n)).astype(np.int64)
 
 
 def sample_uniform_rns(rng, moduli, n: int) -> np.ndarray:

@@ -18,6 +18,7 @@ import numpy as np
 from ..core import ntt as ntt_mod
 from ..core import u64 as _u
 from ..core.modring import get_rns_ring
+from ..utils.csprng import CryptoRng
 from ..utils.serialize import (_emit, _pack_rns, _parse, _unpack_rns,
                                expand_uniform)
 from .keys import SecretKey, _gamma_times_p, lift_signed, sample_gaussian, sample_ternary
@@ -84,11 +85,21 @@ class RefreshShare(_Share):
 
 class DBfvParty:
     """One party's local state: its additive secret-key share s_i
-    (reference DBfvContext, fhe_lib_v2.h:710)."""
+    (reference DBfvContext, fhe_lib_v2.h:710).
 
-    def __init__(self, params, seed=None):
+    ``sigma_smudging`` is the flooding-noise deviation added to every
+    *published partial decryption* (E2S/S2E/Refresh shares) so that
+    h_i = c1·s_i + e_i − Δ·M_i statistically hides s_i and the ciphertext
+    noise (reference: explicit sigma_smudging parameter on
+    DBfvContext::create_random_context, fhe_lib_v2.h:716; Lattigo threshold
+    semantics). The default 2^30 gives ≈30 bits of statistical smudging over
+    the base σ=3.2 noise; size it to your statistical-security target — it
+    must stay far below Δ/(2·N_parties) for correct decryption."""
+
+    def __init__(self, params, seed=None, sigma_smudging: float = 2.0 ** 30):
         self.params = params
-        self.rng = np.random.default_rng(seed)
+        self.rng = CryptoRng(seed)
+        self.sigma_smudging = float(sigma_smudging)
         self.sk = SecretKey(sample_ternary(self.rng, params.n))
         self.q = tuple(params.q)
         self.p = tuple(params.p)
@@ -296,7 +307,9 @@ class E2sProtocol:
         s_ntt = party.sk.ntt_form(tuple(self.q), eng.n)
         c1s = ntt_mod.intt(np, _u.mulmod(np, c1_ntt, s_ntt, self.ring.q,
                                          self.ring.pinv, self.ring.r2), self.ring)
-        e = lift_signed(sample_gaussian(party.rng, eng.n), self.q)
+        # Smudging noise: the published share must not leak s_i / ct noise.
+        e = lift_signed(sample_gaussian(party.rng, eng.n,
+                                        sigma=party.sigma_smudging), self.q)
         h = _u.submod(np, _u.addmod(np, c1s, e, self.ring.q), delta_m, self.ring.q)
         return DecryptionShare(h, tuple(self.q)), mask
 
@@ -344,7 +357,9 @@ class S2eProtocol:
         s_ntt = party.sk.ntt_form(self.q, eng.n)
         as_ = ntt_mod.intt(np, _u.mulmod(np, self.crp_ntt, s_ntt, self.ring.q,
                                          self.ring.pinv, self.ring.r2), self.ring)
-        e = lift_signed(sample_gaussian(party.rng, eng.n), self.q)
+        # Smudging noise (same rationale as E2S — published share).
+        e = lift_signed(sample_gaussian(party.rng, eng.n,
+                                        sigma=party.sigma_smudging), self.q)
         h = _u.submod(np, _u.addmod(np, delta_m, e, self.ring.q), as_, self.ring.q)
         return EncryptionShare(h, self.q)
 

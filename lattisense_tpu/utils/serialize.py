@@ -213,8 +213,13 @@ def deserialize_ciphertext(blob: bytes) -> Ciphertext:
 
 def expand_uniform(seed: int, moduli, n: int) -> np.ndarray:
     """Deterministic uniform (L, n) expansion from a seed: Philox counter
-    PRNG + per-limb mask-and-reject (Lattigo's uniform sampler shape)."""
-    rng = np.random.Generator(np.random.Philox(key=seed & ((1 << 64) - 1)))
+    PRNG + per-limb mask-and-reject (Lattigo's uniform sampler shape).
+    Seeds up to 128 bits feed the full Philox key (compressed-ct c1 seeds
+    are 128-bit; ≤64-bit seeds — e.g. public CRP seeds — expand the same
+    as before, high key word zero)."""
+    m64 = (1 << 64) - 1
+    rng = np.random.Generator(np.random.Philox(
+        key=[seed & m64, (seed >> 64) & m64]))
     L = len(moduli)
     out = np.empty((L, n), dtype=np.uint64)
     for i, q in enumerate(moduli):
