@@ -30,9 +30,18 @@ def main():
     if args.cpu or 'axon' in (jax.config.jax_platforms or ''):
         flags = os.environ.get('XLA_FLAGS', '')
         if '--xla_force_host_platform_device_count' not in flags:
-            os.environ['XLA_FLAGS'] = (flags +
-                                       ' --xla_force_host_platform_device_count=8').strip()
+            # one intra-op thread per virtual device: otherwise a single
+            # "device" already spans every physical core and the scaling
+            # curve only measures oversubscription. Honest reading: points
+            # with devices <= physical cores measure SPMD efficiency;
+            # beyond that they measure core starvation.
+            os.environ['XLA_FLAGS'] = (
+                flags + ' --xla_force_host_platform_device_count=8'
+                        ' --xla_cpu_multi_thread_eigen=false'
+                        ' intra_op_parallelism_threads=1').strip()
         jax.config.update('jax_platforms', 'cpu')
+        print(f'physical cores: {os.cpu_count()} — efficiency valid up to '
+              f'devices={os.cpu_count()}', flush=True)
 
     import lattisense_tpu  # noqa: F401
     from lattisense_tpu.core.modring import gen_ntt_primes

@@ -75,6 +75,43 @@ def make_rotate_step(galois_elt: int):
     return rot
 
 
+def make_limb_tp_mult_relin(engine, level: int, mesh):
+    """Integrated 2-D pipeline: batched BEHZ mult with the batch sharded
+    over ``op`` (GSPMD), relinearization through the explicit-collective
+    limb-TP key switch (ShardedKeySwitcher.traced — digits computed per
+    device, one psum_scatter, in-mesh INTT + mod-down). Bit-identical to
+    the single-device pipeline; the VERDICT-r1 "fold the epilogue /
+    integrate into the batched pipeline" item.
+
+    Returns (f, prep_keys): f(a[B,2,L,n], b, kd) jitted; prep_keys(ksk)
+    pads the key into the sharded digit layout.
+    """
+    from ..core import u64 as _u
+    from .keyswitch_sharded import ShardedKeySwitcher
+    sharded = ShardedKeySwitcher(engine.switcher, level, mesh)
+    ring = engine.ring(level)
+    ct_sh = NamedSharding(mesh, ct_batch_spec(False))
+
+    def single_mult(a_data, b_data):
+        a = _wrap_ct(a_data, level, False, 1.0)
+        b = _wrap_ct(b_data, level, False, 1.0)
+        return engine.mult(jnp, a, b).data          # (3, L, n)
+
+    vmult = jax.vmap(single_mult)
+
+    def f(a, b, kd):
+        a = jax.lax.with_sharding_constraint(a, ct_sh)
+        b = jax.lax.with_sharding_constraint(b, ct_sh)
+        d3 = vmult(a, b)                            # (B, 3, L, n)
+        e0, e1 = sharded.traced(d3[:, 2], kd)
+        c0 = _u.addmod(jnp, d3[:, 0], e0, ring.q)
+        c1 = _u.addmod(jnp, d3[:, 1], e1, ring.q)
+        out = jnp.stack([c0, c1], axis=1)
+        return jax.lax.with_sharding_constraint(out, ct_sh)
+
+    return jax.jit(f), sharded.pad_keys
+
+
 def key_tree(context, galois_elts=()):
     """Context keys → plain array pytree for jit arguments."""
     tree = {'rlk': KeySwitchKey(key_q=context.rlk.key_q, key_p=context.rlk.key_p,

@@ -209,6 +209,19 @@ class ShardedKeySwitcher:
             mesh=self.mesh, in_specs=in_specs, out_specs=P(None, 'limb', None),
             check_vma=False))
 
+        # batched, trace-time variant: x (B, L, n) with the batch sharded
+        # over the op axis; the limb-TP body vmaps over the local batch.
+        # Usable inside an enclosing jit — the integrated pipeline entry.
+        def local_batched(x, kd, *cs):
+            return jax.vmap(lambda xx: local(xx, kd, *cs))(x)
+
+        batched_in = (P('op'), P('limb'), P('limb'), P('limb'), P('limb'),
+                      P('limb'))
+        self._shard_fn_batched = jax.shard_map(
+            local_batched, mesh=self.mesh, in_specs=batched_in,
+            out_specs=P('op', None, 'limb', None), check_vma=False)
+        self._consts = consts
+
         def call(x, kd):
             e = shard_fn(x, kd, consts['qhat_inv'], consts['qhat_inv_shoup'],
                          consts['src_q'], consts['qhat_conv'])
@@ -216,6 +229,17 @@ class ShardedKeySwitcher:
             return e[0], e[1]
 
         return call
+
+    def traced(self, x, kd):
+        """Trace-time batched key switch: x (B, L, n) coeff-domain (batch
+        sharded over ``op``), kd = pad_keys(...) result. Returns
+        (e0, e1) each (B, L, n) — callable inside jit (the epilogue runs
+        fully in-mesh; only the padded rows are sliced off here)."""
+        c = self._consts
+        e = self._shard_fn_batched(x, kd, c['qhat_inv'], c['qhat_inv_shoup'],
+                                   c['src_q'], c['qhat_conv'])
+        e = e[..., :self.L, :]
+        return e[:, 0], e[:, 1]
 
     def __call__(self, x, key_q, key_p):
         """x: (L, n) coeff-domain numpy; returns (e0, e1) over Q_ℓ —

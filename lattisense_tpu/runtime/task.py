@@ -87,7 +87,8 @@ class FheTaskTpu:
     """
 
     def __init__(self, task_dir: str, mode: str = 'jit', donate_inputs: bool = False,
-                 custom_executors: dict | None = None, batch_fuse: bool = True):
+                 custom_executors: dict | None = None, batch_fuse: bool = True,
+                 mesh=None):
         with open(os.path.join(task_dir, 'mega_ag.json')) as f:
             self.mag = json.load(f)
         with open(os.path.join(task_dir, 'task_signature.json')) as f:
@@ -99,6 +100,12 @@ class FheTaskTpu:
         # (reference: bind_*_task_custom_executors, wrapper.h:31-105)
         self.custom_executors = custom_executors or {}
         self.batch_fuse = batch_fuse
+        # Graph-level placement: iso-op groups sharded over the mesh's
+        # ``op`` axis — the TPU equivalent of the reference scheduler
+        # dispatching independent DAG ops across its thread pool / backend
+        # (cpu_task_utils.h:540-546). XLA GSPMD places each group member
+        # on a mesh device and runs groups concurrently.
+        self.mesh = mesh
         self._offline: dict = {}
         self.params = params_from_task_json(self.mag['parameter'])
         self.algo = self.mag['algorithm']
@@ -204,11 +211,23 @@ class FheTaskTpu:
             run_one(env, xp, keys)
             return env[out_tmpl]
 
+        mesh = self.mesh
+
+        def _place(stacked, xp):
+            """Constrain each stacked group axis onto the op mesh axis."""
+            if mesh is None or xp.__name__ == 'numpy':
+                return stacked
+            from jax.sharding import NamedSharding, PartitionSpec
+            sh = NamedSharding(mesh, PartitionSpec('op'))
+            return [jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, sh), s)
+                for s in stacked]
+
         def run(env, xp, keys):
             try:
-                stacked = [jax.tree.map(lambda *xs: xp.stack(xs),
-                                        *[env[i] for i in ins])
-                           for ins in zip(*member_ins)]
+                stacked = _place([jax.tree.map(lambda *xs: xp.stack(xs),
+                                               *[env[i] for i in ins])
+                                  for ins in zip(*member_ins)], xp)
                 out = jax.vmap(lambda v, k: single(v, k, xp),
                                in_axes=(0, None))(stacked, keys)
             except Exception as exc:

@@ -55,3 +55,65 @@ def test_batched_mult_relin_sharded_bitexact(ctx, limb):
         np.testing.assert_array_equal(
             ctx.decrypt_decode(ref),
             (msgs[i].astype(object) * msgs[batch + i] % T).astype(np.uint64))
+
+
+def test_integrated_limb_tp_mult_relin(ctx):
+    """Integrated 2-D pipeline: op-sharded BEHZ mult feeding the
+    explicit-collective limb-TP key switch in one jit program — bit-exact
+    vs the single-device golden pipeline."""
+    from lattisense_tpu.parallel.batch import make_limb_tp_mult_relin
+    level = 3
+    mesh = make_mesh(op=4, limb=2)
+    f, prep = make_limb_tp_mult_relin(ctx.engine, level, mesh)
+    kd = prep(ctx.rlk.key_q, ctx.rlk.key_p)
+    batch = 8
+    rng = np.random.default_rng(8)
+    msgs = rng.integers(0, T, (2 * batch, N), dtype=np.uint64)
+    cts = [ctx.encrypt(ctx.encode(m, level)) for m in msgs]
+    a = np.stack([c.data for c in cts[:batch]])
+    b = np.stack([c.data for c in cts[batch:]])
+    out = np.asarray(f(a, b, kd))
+    for i in range(batch):
+        ref = ctx.engine.relinearize(
+            np, ctx.engine.mult(np, cts[i], cts[batch + i]), ctx.rlk)
+        np.testing.assert_array_equal(out[i], np.asarray(ref.data))
+
+
+def test_task_graph_op_placement(ctx, tmp_path):
+    """FheTaskTpu(mesh=...): iso-op groups of a compiled task sharded over
+    the op axis — results identical to the eager interpreter."""
+    from lattisense_tpu.frontend import custom_task as fct
+    from lattisense_tpu.runtime import FheTaskTpu
+    level = 3
+    mesh = make_mesh(op=8, limb=1)
+    params = ctx.params
+    fe = fct.BfvParam.create_custom_param(n=N, q=list(params.q),
+                                          p=list(params.p), t=T)
+    fct.set_fhe_param(fe)
+    n_par = 8
+    ins, outs = [], []
+    for k in range(n_par):
+        xk = fct.BfvCiphertextNode(f'x{k}', level)
+        yk = fct.BfvCiphertextNode(f'y{k}', level)
+        ins += [fct.Argument(f'x{k}', xk), fct.Argument(f'y{k}', yk)]
+        outs.append(fct.Argument(f'z{k}', fct.mult_relin(xk, yk, f'z{k}')))
+    fct.process_custom_task(ins, outs, output_instruction_path=str(tmp_path))
+
+    rng = np.random.default_rng(9)
+    vals = {}
+    expected = {}
+    for k in range(n_par):
+        m1 = rng.integers(0, T, N, dtype=np.uint64)
+        m2 = rng.integers(0, T, N, dtype=np.uint64)
+        vals[f'x{k}'] = ctx.encrypt(ctx.encode(m1, level))
+        vals[f'y{k}'] = ctx.encrypt(ctx.encode(m2, level))
+        expected[f'z{k}'] = (m1.astype(object) * m2 % T).astype(np.uint64)
+    placed = FheTaskTpu(str(tmp_path), mode='jit', mesh=mesh)
+    out_p, _ = placed.run(ctx, vals)
+    eager = FheTaskTpu(str(tmp_path), mode='eager')
+    out_e, _ = eager.run(ctx, vals)
+    for k in range(n_par):
+        np.testing.assert_array_equal(np.asarray(out_p[f'z{k}'].data),
+                                      np.asarray(out_e[f'z{k}'].data))
+        np.testing.assert_array_equal(ctx.decrypt_decode(out_p[f'z{k}']),
+                                      expected[f'z{k}'])
