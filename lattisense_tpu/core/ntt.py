@@ -28,6 +28,10 @@ _USE_PALLAS = (os.environ.get('LATTISENSE_PALLAS_NTT',
                not in ('', '0'))
 _USE_CONJ_INTT = (os.environ.get('LATTISENSE_CONJ_INTT', '0')
                   not in ('', '0'))
+# butterfly radix for the XLA device path: merging levels into one pass
+# cuts HBM materializations (the device is bandwidth-bound); 4 = two
+# levels per pass. LATTISENSE_NTT_RADIX=2 restores the round-1 code.
+_RADIX = int(os.environ.get('LATTISENSE_NTT_RADIX', '4'))
 # the inverse kernel is only at parity with XLA so far (NOTES.md) — it can
 # be disabled independently while the forward stays fused
 _USE_PALLAS_INTT = (os.environ.get('LATTISENSE_PALLAS_INTT',
@@ -53,6 +57,10 @@ def ntt(xp, x, ring):
         nat = _native()
         if nat is not None:
             return nat.ntt_forward(x, ring)
+    if getattr(ring, 'moduli', None) is not None:
+        from ..ops import ntt_mxu
+        if ntt_mxu.enabled(xp, x.shape[-1]):
+            return ntt_mxu.ntt(xp, x, ring)
     if _pallas_ok(xp, x.shape[-1]):
         from ..ops.ntt_pallas import ntt_fused
         return ntt_fused(x, ring)
@@ -60,12 +68,39 @@ def ntt(xp, x, ring):
     L = x.shape[-2]
     batch = x.shape[:-2]
     q = ring.q.reshape(L, 1, 1)
+    q4 = ring.q.reshape(L, 1, 1, 1)
     tbl = ring.psi_rev
     tbl_sh = ring.psi_rev_shoup
 
     t = n
     m = 1
     while m < n:
+        if _RADIX >= 4 and 4 * m <= n and xp.__name__ != 'numpy':
+            # radix-4: two butterfly levels in ONE pass — the XLA device
+            # path is HBM-bound at ~1 materialization per level, so
+            # merging levels halves NTT traffic (same multiply count).
+            t //= 4
+            xv = x.reshape(*batch, L, m, 2, 2, t)
+            s1 = tbl[:, m:2 * m].reshape(L, m, 1, 1)
+            s1_sh = tbl_sh[:, m:2 * m].reshape(L, m, 1, 1)
+            s2 = tbl[:, 2 * m:4 * m].reshape(L, m, 2, 1)
+            s2_sh = tbl_sh[:, 2 * m:4 * m].reshape(L, m, 2, 1)
+            u_ = xv[..., 0, :, :]                     # (…, L, m, 2, t)
+            v = _u.shoup_mul(xp, xv[..., 1, :, :], s1, s1_sh, q4)
+            p = _u.addmod(xp, u_, v, q4)              # level A outputs
+            r = _u.submod(xp, u_, v, q4)
+            # level B: pairs within p (twiddle 2m+2k) and r (2m+2k+1)
+            pv = _u.shoup_mul(xp, p[..., 1:2, :], s2[:, :, 0:1], s2_sh[:, :, 0:1], q4)
+            rv = _u.shoup_mul(xp, r[..., 1:2, :], s2[:, :, 1:2], s2_sh[:, :, 1:2], q4)
+            p0 = p[..., 0:1, :]
+            r0 = r[..., 0:1, :]
+            out = xp.concatenate([_u.addmod(xp, p0, pv, q4),
+                                  _u.submod(xp, p0, pv, q4),
+                                  _u.addmod(xp, r0, rv, q4),
+                                  _u.submod(xp, r0, rv, q4)], axis=-2)
+            x = out.reshape(*batch, L, n)
+            m *= 4
+            continue
         t //= 2
         xv = x.reshape(*batch, L, m, 2, t)
         s = tbl[:, m:2 * m].reshape(L, m, 1)
@@ -129,6 +164,10 @@ def intt(xp, x, ring):
         nat = _native()
         if nat is not None:
             return nat.ntt_inverse(x, ring)
+    if getattr(ring, 'moduli', None) is not None:
+        from ..ops import ntt_mxu
+        if ntt_mxu.enabled(xp, x.shape[-1]):
+            return ntt_mxu.intt(xp, x, ring)
     if _pallas_ok(xp, x.shape[-1]) and _USE_PALLAS_INTT:
         from ..ops.ntt_pallas import intt_fused
         return intt_fused(x, ring)
@@ -144,12 +183,34 @@ def intt(xp, x, ring):
     L = x.shape[-2]
     batch = x.shape[:-2]
     q = ring.q.reshape(L, 1, 1)
+    q4 = ring.q.reshape(L, 1, 1, 1)
     tbl = ring.psi_inv_rev
     tbl_sh = ring.psi_inv_rev_shoup
 
     t = 1
     m = n // 2
     while m >= 1:
+        if _RADIX >= 4 and m >= 2 and xp.__name__ != 'numpy':
+            # radix-4 GS: two levels per pass (see forward comment)
+            m2 = m // 2
+            xv = x.reshape(*batch, L, m2, 2, 2, t)    # (k, j, i, t)
+            s1 = tbl[:, m:2 * m].reshape(L, m2, 2, 1)
+            s1_sh = tbl_sh[:, m:2 * m].reshape(L, m2, 2, 1)
+            s2 = tbl[:, m2:2 * m2].reshape(L, m2, 1, 1)
+            s2_sh = tbl_sh[:, m2:2 * m2].reshape(L, m2, 1, 1)
+            u_ = xv[..., 0, :]                        # (…, L, m2, 2, t)
+            v = xv[..., 1, :]
+            h = _u.addmod(xp, u_, v, q4)
+            lo1 = _u.shoup_mul(xp, _u.submod(xp, u_, v, q4), s1, s1_sh, q4)
+            # level B pairs j=0 with j=1 (for both h and lo1 lanes)
+            a0 = xp.stack([h[..., 0, :], lo1[..., 0, :]], axis=-2)
+            a1 = xp.stack([h[..., 1, :], lo1[..., 1, :]], axis=-2)
+            hi2 = _u.addmod(xp, a0, a1, q4)
+            lo2 = _u.shoup_mul(xp, _u.submod(xp, a0, a1, q4), s2, s2_sh, q4)
+            x = xp.concatenate([hi2, lo2], axis=-2).reshape(*batch, L, n)
+            t *= 4
+            m //= 4
+            continue
         xv = x.reshape(*batch, L, m, 2, t)
         s = tbl[:, m:2 * m].reshape(L, m, 1)
         s_sh = tbl_sh[:, m:2 * m].reshape(L, m, 1)
