@@ -79,16 +79,26 @@ def gen_ntt_primes(n: int, bit_size: int, count: int, exclude=()) -> list[int]:
 
 
 class PrimeRing:
-    """Constants and tables for Z_q[x]/(x^n+1) with one prime q."""
+    """Constants and tables for Z_q[x]/(x^n+1) with one prime q.
 
-    def __init__(self, q: int, n: int):
+    ``word_bits`` selects the machine word (R = 2^word): 64 (default) or 32
+    for prime chains < 2^31 — the TPU-native word size (core/u64.py).
+    """
+
+    def __init__(self, q: int, n: int, word_bits: int = 64):
+        from .u64 import word_dtype
         self.q = q
         self.n = n
+        self.word_bits = word_bits
+        dt = word_dtype(word_bits)
+        R = 1 << word_bits
+        if word_bits == 32:
+            assert q < (1 << 31), f'prime {q} too large for 32-bit word'
         self.logn = n.bit_length() - 1
         assert 1 << self.logn == n
-        self.pinv = (-pow(q, -1, _MOD64)) % _MOD64   # -q^-1 mod 2^64
-        self.r1 = _MOD64 % q                          # 2^64 mod q
-        self.r2 = (_MOD64 * _MOD64) % q               # 2^128 mod q
+        self.pinv = (-pow(q, -1, R)) % R              # -q^-1 mod R
+        self.r1 = R % q                               # R mod q
+        self.r2 = (R * R) % q                         # R^2 mod q
         self.n_inv = pow(n, -1, q)
 
         psi = find_primitive_2nth_root(q, n)
@@ -103,34 +113,37 @@ class PrimeRing:
             psi_inv_pows[i] = psi_inv_pows[i - 1] * self.psi_inv % q
 
         def shoup(w):
-            return (w << 64) // q
+            return (w << word_bits) // q
 
-        self.psi_rev = np.array([psi_pows[brv[i]] for i in range(n)], dtype=_U64)
-        self.psi_rev_shoup = np.array([shoup(psi_pows[brv[i]]) for i in range(n)], dtype=_U64)
-        self.psi_inv_rev = np.array([psi_inv_pows[brv[i]] for i in range(n)], dtype=_U64)
-        self.psi_inv_rev_shoup = np.array([shoup(psi_inv_pows[brv[i]]) for i in range(n)], dtype=_U64)
+        self.psi_rev = np.array([psi_pows[brv[i]] for i in range(n)], dtype=dt)
+        self.psi_rev_shoup = np.array([shoup(psi_pows[brv[i]]) for i in range(n)], dtype=dt)
+        self.psi_inv_rev = np.array([psi_inv_pows[brv[i]] for i in range(n)], dtype=dt)
+        self.psi_inv_rev_shoup = np.array([shoup(psi_inv_pows[brv[i]]) for i in range(n)], dtype=dt)
         self.n_inv_shoup = shoup(self.n_inv)
 
 
 @functools.lru_cache(maxsize=None)
-def get_prime_ring(q: int, n: int) -> PrimeRing:
-    return PrimeRing(q, n)
+def get_prime_ring(q: int, n: int, word_bits: int = 64) -> PrimeRing:
+    return PrimeRing(q, n, word_bits)
 
 
 class RnsRing:
     """Stacked per-limb constants for a modulus chain (leading axis = limb).
 
     Device arrays have shape (L, ...) with L limbs; every constant here is a
-    u64 array broadcastable against (L, n) coefficient arrays.
+    word-dtype array broadcastable against (L, n) coefficient arrays.
     """
 
-    def __init__(self, moduli: tuple[int, ...], n: int):
+    def __init__(self, moduli: tuple[int, ...], n: int, word_bits: int = 64):
+        from .u64 import word_dtype
         self.moduli = tuple(int(m) for m in moduli)
         self.n = n
-        rings = [get_prime_ring(q, n) for q in self.moduli]
+        self.word_bits = word_bits
+        dt = word_dtype(word_bits)
+        rings = [get_prime_ring(q, n, word_bits) for q in self.moduli]
         self.rings = rings
         L = len(rings)
-        col = lambda attr: np.array([getattr(r, attr) for r in rings], dtype=_U64).reshape(L, 1)
+        col = lambda attr: np.array([getattr(r, attr) for r in rings], dtype=dt).reshape(L, 1)
         self.q = col('q')
         self.pinv = col('pinv')
         self.r1 = col('r1')
@@ -144,5 +157,5 @@ class RnsRing:
 
 
 @functools.lru_cache(maxsize=None)
-def get_rns_ring(moduli: tuple[int, ...], n: int) -> RnsRing:
-    return RnsRing(moduli, n)
+def get_rns_ring(moduli: tuple[int, ...], n: int, word_bits: int = 64) -> RnsRing:
+    return RnsRing(moduli, n, word_bits)

@@ -47,7 +47,9 @@ def _native():
     return native if native.available() else None
 
 
-def _pallas_ok(xp, n):
+def _pallas_ok(xp, n, dtype=None):
+    if dtype is not None and dtype.itemsize != 8:
+        return False  # fused kernels are u64-specific
     return _USE_PALLAS and xp.__name__ != 'numpy' and n >= 256
 
 
@@ -56,12 +58,19 @@ def ntt(xp, x, ring):
     if xp.__name__ == 'numpy':
         nat = _native()
         if nat is not None:
+            if x.dtype.itemsize == 4:
+                # native kernels are u64/R=2^64; residues mod q are
+                # word-independent, so cast through the u64 ring.
+                import numpy as _np
+                from .modring import get_rns_ring as _grr
+                r64 = _grr(ring.moduli, ring.n, 64)
+                return nat.ntt_forward(x.astype(_np.uint64), r64).astype(x.dtype)
             return nat.ntt_forward(x, ring)
     if getattr(ring, 'moduli', None) is not None:
         from ..ops import ntt_mxu
-        if ntt_mxu.enabled(xp, x.shape[-1]):
+        if ntt_mxu.enabled(xp, x.shape[-1], x.dtype):
             return ntt_mxu.ntt(xp, x, ring)
-    if _pallas_ok(xp, x.shape[-1]):
+    if _pallas_ok(xp, x.shape[-1], x.dtype):
         from ..ops.ntt_pallas import ntt_fused
         return ntt_fused(x, ring)
     n = x.shape[-1]
@@ -163,12 +172,17 @@ def intt(xp, x, ring):
     if xp.__name__ == 'numpy':
         nat = _native()
         if nat is not None:
+            if x.dtype.itemsize == 4:
+                import numpy as _np
+                from .modring import get_rns_ring as _grr
+                r64 = _grr(ring.moduli, ring.n, 64)
+                return nat.ntt_inverse(x.astype(_np.uint64), r64).astype(x.dtype)
             return nat.ntt_inverse(x, ring)
     if getattr(ring, 'moduli', None) is not None:
         from ..ops import ntt_mxu
-        if ntt_mxu.enabled(xp, x.shape[-1]):
+        if ntt_mxu.enabled(xp, x.shape[-1], x.dtype):
             return ntt_mxu.intt(xp, x, ring)
-    if _pallas_ok(xp, x.shape[-1]) and _USE_PALLAS_INTT:
+    if _pallas_ok(xp, x.shape[-1], x.dtype) and _USE_PALLAS_INTT:
         from ..ops.ntt_pallas import intt_fused
         return intt_fused(x, ring)
     if (_USE_CONJ_INTT and xp.__name__ != 'numpy' and x.shape[-1] >= 4

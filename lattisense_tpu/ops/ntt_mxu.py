@@ -46,7 +46,9 @@ _ENABLED = os.environ.get('LATTISENSE_MXU_NTT', '0') not in ('', '0')
 _I8DOT = os.environ.get('LATTISENSE_MXU_I8DOT', '0') not in ('', '0')
 
 
-def enabled(xp, n: int) -> bool:
+def enabled(xp, n: int, dtype=None) -> bool:
+    if dtype is not None and dtype.itemsize != 8:
+        return False  # digit-plane decomposition is u64-specific
     return _ENABLED and xp.__name__ != 'numpy' and n >= 4096
 
 

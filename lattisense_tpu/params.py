@@ -36,7 +36,8 @@ class FheParams:
 
     algo = ''
 
-    def __init__(self, n: int, q: list[int], p: list[int]):
+    def __init__(self, n: int, q: list[int], p: list[int],
+                 word_bits: int = 64):
         self.n = int(n)
         self.logn = self.n.bit_length() - 1
         if 1 << self.logn != self.n:
@@ -44,6 +45,12 @@ class FheParams:
         self.q = [int(x) for x in q]
         self.p = [int(x) for x in p]
         self.max_level = len(self.q) - 1
+        # Machine word for all RNS arithmetic (core/u64.py): 64 (default)
+        # or 32 for sub-2^31 prime chains — the TPU-native word, where
+        # modmuls run on native 32-bit VPU multiplies (create_tpu_param).
+        self.word_bits = int(word_bits)
+        if self.word_bits == 32 and any(x >= (1 << 31) for x in self.q + self.p):
+            raise ValueError('word_bits=32 requires all primes < 2^31')
 
     @property
     def max_sp_level(self) -> int:
@@ -63,14 +70,16 @@ class FheParams:
         return (type(self) is type(other) and self.__dict__ == other.__dict__)
 
     def __hash__(self):
-        return hash((self.algo, self.n, tuple(self.q), tuple(self.p)))
+        return hash((self.algo, self.n, tuple(self.q), tuple(self.p),
+                     self.word_bits))
 
 
 class BfvParams(FheParams):
     algo = 'BFV'
 
-    def __init__(self, n: int, t: int, q: list[int], p: list[int]):
-        super().__init__(n, q, p)
+    def __init__(self, n: int, t: int, q: list[int], p: list[int],
+                 word_bits: int = 64):
+        super().__init__(n, q, p, word_bits)
         self.t = int(t)
 
     @classmethod
@@ -80,8 +89,36 @@ class BfvParams(FheParams):
         return cls(n, t if t is not None else entry['t'], entry['q'], entry['p'])
 
     @classmethod
-    def create_custom(cls, n: int, t: int, q: list[int], p: list[int]) -> 'BfvParams':
-        return cls(n, t, q, p)
+    def create_custom(cls, n: int, t: int, q: list[int], p: list[int],
+                      word_bits: int = 64) -> 'BfvParams':
+        return cls(n, t, q, p, word_bits)
+
+    @classmethod
+    def create_tpu_param(cls, n: int, t: int | None = None) -> 'BfvParams':
+        """TPU-native parameter profile: the default chain's logQP budget
+        re-cut into 31-bit NTT primes with word_bits=32 — all modmuls run
+        on native 32-bit VPU multiplies (measured ~3.3x per limb-row over
+        emulated u64; core/u64.py). Mirrors the reference's FPGA profile,
+        which pins hardware-word-sized prime chains for the same reason
+        (frontend/custom_task.py:215 create_fpga_parameter).
+
+        Same n / t / logQP budget => same security and multiplicative
+        capability class as the default chain; only the RNS word changes.
+        """
+        entry = _load_table()['BFV'][str(n)]
+        return cls.create_tpu_custom(
+            n, t if t is not None else entry['t'],
+            log_q=sum(int(x).bit_length() for x in entry['q']),
+            log_p=sum(int(x).bit_length() for x in entry['p']))
+
+    @classmethod
+    def create_tpu_custom(cls, n: int, t: int, log_q: int,
+                          log_p: int) -> 'BfvParams':
+        from .core.modring import gen_ntt_primes
+        nq = -(-log_q // 31)
+        npr = max(1, -(-log_p // 31))
+        primes = gen_ntt_primes(n, 31, nq + npr)
+        return cls(n, t, primes[:nq], primes[nq:], word_bits=32)
 
     def delta(self, level: int) -> int:
         """Δ_ℓ = floor(Q_ℓ / t) — BFV plaintext scaling at level ℓ."""
@@ -132,15 +169,21 @@ def params_from_task_json(parameter: dict) -> FheParams:
 
 
 @functools.lru_cache(maxsize=None)
-def bfv_aux_basis(n: int, q: tuple[int, ...], p: tuple[int, ...]) -> tuple[tuple[int, ...], int]:
+def bfv_aux_basis(n: int, q: tuple[int, ...], p: tuple[int, ...],
+                  word_bits: int = 64) -> tuple[tuple[int, ...], int]:
     """Auxiliary basis (B, m_sk) for BEHZ BFV multiplication.
 
-    |B| = |q| + 1 NTT-friendly ~59-bit primes plus one m_sk, all distinct
-    from the declared chain. Sized so B_ℓ * m_sk comfortably exceeds the
-    scaled tensor-product bound at every level.
+    NTT-friendly primes at the word size (~59-bit, or 31-bit in narrow
+    mode) distinct from the declared chain, plus one m_sk. Sized so every
+    per-level prefix B_ℓ exceeds the scaled tensor-product bound
+    8·t·n·Q_ℓ (BehzMult slices the prefix it needs per level).
     """
     from .core.modring import gen_ntt_primes
 
-    count = len(q) + 2
-    primes = gen_ntt_primes(n, 59, count, exclude=tuple(q) + tuple(p))
+    bit_size = 31 if word_bits == 32 else 59
+    # narrow primes carry ~half the bits, so roughly twice as many are
+    # needed for the same bound; +2 covers slack at every level.
+    count = (len(q) + 2 if word_bits == 64
+             else (sum(x.bit_length() for x in q) + 34) // (bit_size - 1) + 2)
+    primes = gen_ntt_primes(n, bit_size, count, exclude=tuple(q) + tuple(p))
     return tuple(primes[:-1]), primes[-1]

@@ -48,9 +48,10 @@ class FheContext:
         (create_random_context_with_seed parity, fhe_lib_v2.h:846)."""
         ctx = cls(params, seed)
         q, p, n = tuple(params.q), tuple(params.p), params.n
+        wb = getattr(params, 'word_bits', 64)
         ctx.sk = K.SecretKey(K.sample_ternary(ctx.rng, n))
-        ctx.pk = K.gen_public_key(ctx.rng, ctx.sk, q, n)
-        ctx.rlk = K.gen_relin_key(ctx.rng, ctx.sk, q, p, n)
+        ctx.pk = K.gen_public_key(ctx.rng, ctx.sk, q, n, wb)
+        ctx.rlk = K.gen_relin_key(ctx.rng, ctx.sk, q, p, n, wb)
         return ctx
 
     @classmethod
@@ -65,6 +66,7 @@ class FheContext:
         mirrors the frontend's get_glk_col)."""
         from ..frontend.custom_task import get_glk_col
         q, p, n = tuple(self.params.q), tuple(self.params.p), self.params.n
+        wb = getattr(self.params, 'word_bits', 64)
         for step in rotations:
             pos, negs = get_glk_col(step, n)
             sub_steps = [2 ** i for i in pos] + [-(2 ** i) for i in negs]
@@ -73,17 +75,18 @@ class FheContext:
                     continue
                 elt = galois_elt_col(ss, n)
                 if elt not in self.glk.keys:
-                    self.glk.keys[elt] = K.gen_galois_key(self.rng, self.sk, elt, q, p, n)
+                    self.glk.keys[elt] = K.gen_galois_key(self.rng, self.sk, elt, q, p, n, wb)
         if swap_rows:
             elt = galois_elt_row(n)
             if elt not in self.glk.keys:
-                self.glk.keys[elt] = K.gen_galois_key(self.rng, self.sk, elt, q, p, n)
+                self.glk.keys[elt] = K.gen_galois_key(self.rng, self.sk, elt, q, p, n, wb)
 
     def gen_galois_keys_for_elements(self, galois_elements):
         q, p, n = tuple(self.params.q), tuple(self.params.p), self.params.n
+        wb = getattr(self.params, 'word_bits', 64)
         for elt in galois_elements:
             if elt not in self.glk.keys:
-                self.glk.keys[elt] = K.gen_galois_key(self.rng, self.sk, elt, q, p, n)
+                self.glk.keys[elt] = K.gen_galois_key(self.rng, self.sk, elt, q, p, n, wb)
 
     def make_public_context(self):
         """Evaluation-only copy: public/eval keys, no secret key."""

@@ -25,6 +25,7 @@ from ..core import ntt as ntt_mod
 from ..core import u64 as _u
 from ..core.modring import get_rns_ring
 from ..core.rns import ExactExtend, ShenoyConvert, DivRoundLast, BasisConv, _col, _mont
+from ..core.u64 import word_dtype
 from ..params import BfvParams, bfv_aux_basis
 from .types import Ciphertext, Plaintext, PlaintextRingt, PlaintextMul
 from .keyswitch import KeySwitcher
@@ -37,24 +38,33 @@ _U64 = np.uint64
 class BehzMult:
     """Per-level precomputes for BEHZ multiplication."""
 
-    def __init__(self, q: tuple[int, ...], aux: tuple[int, ...], m_sk: int, t: int, n: int):
-        L = len(q)
-        b = aux[:L + 1]
+    def __init__(self, q: tuple[int, ...], aux: tuple[int, ...], m_sk: int,
+                 t: int, n: int, word_bits: int = 64):
+        wb = word_bits
+        Q = math.prod(q)
+        # take the shortest aux prefix whose product clears the tensor
+        # bound t*n*4*Q (Shenoy needs ω < B); narrow words need ~2x limbs
+        b = []
+        prod_b = 1
+        for prime in aux:
+            b.append(prime)
+            prod_b *= prime
+            if len(b) > len(q) and prod_b > 8 * t * n * Q:
+                break
+        b = tuple(b)
         self.b_primes = b
         self.m_sk = m_sk
         dst = b + (m_sk,)
-        Q = math.prod(q)
         B = math.prod(b)
-        # sanity: tensor bound t*n*4*Q must fit under B (Shenoy needs ω < B)
         assert B > 8 * t * n * Q, 'BEHZ auxiliary basis too small'
-        self.extend = ExactExtend(q, dst)
-        self.ring_q = get_rns_ring(q, n)
-        self.ring_aux = get_rns_ring(dst, n)
-        self.shenoy = ShenoyConvert(b, m_sk, q)
-        self.conv_q_to_aux = BasisConv(q, dst)
-        self.t_mont_q = _col([_mont(t % qi, qi) for qi in q])
-        self.t_mont_aux = _col([_mont(t % d, d) for d in dst])
-        self.qinv_mont_aux = _col([_mont(pow(Q % d, -1, d), d) for d in dst])
+        self.extend = ExactExtend(q, dst, wb)
+        self.ring_q = get_rns_ring(q, n, wb)
+        self.ring_aux = get_rns_ring(dst, n, wb)
+        self.shenoy = ShenoyConvert(b, m_sk, q, wb)
+        self.conv_q_to_aux = BasisConv(q, dst, wb)
+        self.t_mont_q = _col([_mont(t % qi, qi, wb) for qi in q], wb)
+        self.t_mont_aux = _col([_mont(t % d, d, wb) for d in dst], wb)
+        self.qinv_mont_aux = _col([_mont(pow(Q % d, -1, d), d, wb) for d in dst], wb)
 
     def scale_and_back(self, xp, d_q, d_aux):
         """round-ish(t/Q · X) mod Q for X given over Q (d_q) and B∪m_sk (d_aux)."""
@@ -74,27 +84,32 @@ class BfvEngine:
         self.t = params.t
         self.q = tuple(params.q)
         self.p = tuple(params.p)
-        self.aux, self.m_sk = bfv_aux_basis(params.n, self.q, self.p)
-        self.switcher = KeySwitcher(self.q, self.p, self.n)
+        self.word_bits = getattr(params, 'word_bits', 64)
+        self.wdt = word_dtype(self.word_bits)
+        self.aux, self.m_sk = bfv_aux_basis(params.n, self.q, self.p,
+                                            self.word_bits)
+        self.switcher = KeySwitcher(self.q, self.p, self.n, self.word_bits)
 
     # ---- cached per-level helpers ----
     @functools.lru_cache(maxsize=None)
     def ring(self, level: int):
-        return get_rns_ring(self.q[:level + 1], self.n)
+        return get_rns_ring(self.q[:level + 1], self.n, self.word_bits)
 
     @functools.lru_cache(maxsize=None)
     def behz(self, level: int) -> BehzMult:
-        return BehzMult(self.q[:level + 1], self.aux, self.m_sk, self.t, self.n)
+        return BehzMult(self.q[:level + 1], self.aux, self.m_sk, self.t,
+                        self.n, self.word_bits)
 
     @functools.lru_cache(maxsize=None)
     def rescaler(self, level: int) -> DivRoundLast:
-        return DivRoundLast(self.q[:level + 1])
+        return DivRoundLast(self.q[:level + 1], self.word_bits)
 
     @functools.lru_cache(maxsize=None)
     def delta_mont(self, level: int) -> np.ndarray:
         """[Δ_ℓ]_{q_i} in Montgomery form, Δ_ℓ = floor(Q_ℓ/t)."""
         delta = self.params.delta(level)
-        return _col([_mont(delta % qi, qi) for qi in self.q[:level + 1]])
+        return _col([_mont(delta % qi, qi, self.word_bits)
+                     for qi in self.q[:level + 1]], self.word_bits)
 
     # ---- encode / decode (host) ----
     def encode(self, values, level: int) -> Plaintext:
@@ -102,7 +117,7 @@ class BfvEngine:
         m = bfv_encode_slots(values, self.t, self.n)
         Q = self.params.q_prod(level)
         scaled = [(int(c) * Q + self.t // 2) // self.t for c in m]
-        data = np.stack([np.array([s % qi for s in scaled], dtype=_U64)
+        data = np.stack([np.array([s % qi for s in scaled], dtype=self.wdt)
                          for qi in self.q[:level + 1]])
         return Plaintext(data=data, level=level)
 
@@ -113,7 +128,7 @@ class BfvEngine:
         """NTT + Montgomery form of the unscaled message lifted to Q_ℓ."""
         m = bfv_encode_slots(values, self.t, self.n)
         ring = self.ring(level)
-        lifted = np.broadcast_to(m, (level + 1, self.n)).copy()
+        lifted = np.broadcast_to(m, (level + 1, self.n)).astype(self.wdt)
         f = ntt_mod.ntt(np, lifted, ring)
         return PlaintextMul(data=_u.to_mont(np, f, ring.q, ring.pinv, ring.r2),
                             level=level)
@@ -129,7 +144,7 @@ class BfvEngine:
         m[:len(vals)] = vals
         Q = self.params.q_prod(level)
         scaled = [(int(c) * Q + self.t // 2) // self.t for c in m]
-        data = np.stack([np.array([s % qi for s in scaled], dtype=_U64)
+        data = np.stack([np.array([s % qi for s in scaled], dtype=self.wdt)
                          for qi in self.q[:level + 1]])
         return Plaintext(data=data, level=level)
 
@@ -144,7 +159,7 @@ class BfvEngine:
         vals = np.asarray(coeffs, dtype=_U64) % _U64(self.t)
         m[:len(vals)] = vals
         ring = self.ring(level)
-        lifted = np.broadcast_to(m, (level + 1, self.n)).copy()
+        lifted = np.broadcast_to(m, (level + 1, self.n)).astype(self.wdt)
         f = ntt_mod.ntt(np, lifted, ring)
         return PlaintextMul(data=_u.to_mont(np, f, ring.q, ring.pinv, ring.r2),
                             level=level)
@@ -159,12 +174,13 @@ class BfvEngine:
         level = pt.level
         ring = self.ring(level)
         q_mods = self.q[:level + 1]
-        u_ntt = ntt_mod.ntt(np, lift_signed(sample_ternary(rng, self.n), q_mods), ring)
+        u_ntt = ntt_mod.ntt(np, lift_signed(sample_ternary(rng, self.n), q_mods,
+                                            self.word_bits), ring)
         c = []
         for j in range(2):
             prod = _u.mulmod(np, pk.data[j][:level + 1], u_ntt, ring.q, ring.pinv, ring.r2)
             poly = ntt_mod.intt(np, prod, ring)
-            e = lift_signed(sample_gaussian(rng, self.n), q_mods)
+            e = lift_signed(sample_gaussian(rng, self.n), q_mods, self.word_bits)
             c.append(_u.addmod(np, poly, e, ring.q))
         c0 = _u.addmod(np, c[0], pt.data, ring.q)
         return Ciphertext(data=np.stack([c0, c[1]]), level=level)
@@ -174,10 +190,10 @@ class BfvEngine:
         level = pt.level
         ring = self.ring(level)
         q_mods = self.q[:level + 1]
-        a_ntt = sample_uniform_rns(rng, q_mods, self.n)
-        s_ntt = sk.ntt_form(tuple(q_mods), self.n)
+        a_ntt = sample_uniform_rns(rng, q_mods, self.n, self.word_bits)
+        s_ntt = sk.ntt_form(tuple(q_mods), self.n, self.word_bits)
         as_ = ntt_mod.intt(np, _u.mulmod(np, a_ntt, s_ntt, ring.q, ring.pinv, ring.r2), ring)
-        e = lift_signed(sample_gaussian(rng, self.n), q_mods)
+        e = lift_signed(sample_gaussian(rng, self.n), q_mods, self.word_bits)
         c0 = _u.addmod(np, _u.negmod(np, _u.addmod(np, as_, e, ring.q), ring.q),
                        pt.data, ring.q)
         return Ciphertext(data=np.stack([c0, ntt_mod.intt(np, a_ntt, ring)]), level=level)
@@ -195,10 +211,10 @@ class BfvEngine:
             # context rng is a CryptoRng; tests may pass plain np rngs).
             seed = (rng.seed_128() if hasattr(rng, 'seed_128')
                     else int(rng.integers(0, 1 << 62)))
-        a_ntt = expand_uniform(seed, q_mods, self.n)
-        s_ntt = sk.ntt_form(tuple(q_mods), self.n)
+        a_ntt = expand_uniform(seed, q_mods, self.n).astype(self.wdt)
+        s_ntt = sk.ntt_form(tuple(q_mods), self.n, self.word_bits)
         as_ = ntt_mod.intt(np, _u.mulmod(np, a_ntt, s_ntt, ring.q, ring.pinv, ring.r2), ring)
-        e = lift_signed(sample_gaussian(rng, self.n), q_mods)
+        e = lift_signed(sample_gaussian(rng, self.n), q_mods, self.word_bits)
         c0 = _u.addmod(np, _u.negmod(np, _u.addmod(np, as_, e, ring.q), ring.q),
                        pt.data, ring.q)
         return CompressedCiphertext(c0=c0, seed=seed, level=level, is_ntt=False)
@@ -207,7 +223,8 @@ class BfvEngine:
         """(c0, seed) → full ciphertext (compressed_ciphertext_to_ciphertext)."""
         from ..utils.serialize import expand_uniform
         ring = self.ring(cct.level)
-        a_ntt = expand_uniform(cct.seed, self.q[:cct.level + 1], self.n)
+        a_ntt = expand_uniform(cct.seed, self.q[:cct.level + 1],
+                               self.n).astype(self.wdt)
         return Ciphertext(data=np.stack([cct.c0, ntt_mod.intt(np, a_ntt, ring)]),
                           level=cct.level)
 
@@ -216,7 +233,7 @@ class BfvEngine:
         level = ct.level
         ring = self.ring(level)
         q_mods = self.q[:level + 1]
-        s_ntt = sk.ntt_form(tuple(q_mods), self.n)
+        s_ntt = sk.ntt_form(tuple(q_mods), self.n, self.word_bits)
         acc = np.asarray(ct.data[0])
         s_pow = s_ntt
         for k in range(1, ct.data.shape[0]):
@@ -256,8 +273,8 @@ class BfvEngine:
             c0 = _u.addmod(xp, a.data[0], b.data, ring.q)
             data = xp.concatenate([c0[None], a.data[1:]], axis=0)
         elif isinstance(b, PlaintextRingt):
-            dm = _u.mont_mul(xp, b.data[None, :].astype(_U64), self.delta_mont(a.level),
-                             ring.q, ring.pinv)
+            dm = _u.mont_mul(xp, b.data[None, :].astype(self.wdt),
+                             self.delta_mont(a.level), ring.q, ring.pinv)
             c0 = _u.addmod(xp, a.data[0], dm, ring.q)
             data = xp.concatenate([c0[None], a.data[1:]], axis=0)
         else:
@@ -273,8 +290,8 @@ class BfvEngine:
             c0 = _u.submod(xp, a.data[0], b.data, ring.q)
             data = xp.concatenate([c0[None], a.data[1:]], axis=0)
         elif isinstance(b, PlaintextRingt):
-            dm = _u.mont_mul(xp, b.data[None, :].astype(_U64), self.delta_mont(a.level),
-                             ring.q, ring.pinv)
+            dm = _u.mont_mul(xp, b.data[None, :].astype(self.wdt),
+                             self.delta_mont(a.level), ring.q, ring.pinv)
             c0 = _u.submod(xp, a.data[0], dm, ring.q)
             data = xp.concatenate([c0[None], a.data[1:]], axis=0)
         else:
@@ -327,7 +344,7 @@ class BfvEngine:
             da = ntt_mod.intt(xp, da, ra)
             return Ciphertext(data=bz.scale_and_back(xp, dq, da), level=level)
         if isinstance(b, PlaintextRingt):
-            lifted = xp.broadcast_to(b.data.astype(_U64), (level + 1, self.n))
+            lifted = xp.broadcast_to(b.data.astype(self.wdt), (level + 1, self.n))
             f = _u.to_mont(xp, ntt_mod.ntt(xp, lifted, ring), ring.q, ring.pinv, ring.r2)
             ca = ntt_mod.ntt(xp, a.data, ring)
             prod = _u.mont_mul(xp, ca, f, ring.q, ring.pinv)
@@ -417,7 +434,8 @@ class BfvEngine:
 
     def mult_scalar(self, xp, ct: Ciphertext, scalar: int) -> Ciphertext:
         ring = self.ring(ct.level)
-        sm = _col([_mont(scalar % qi, qi) for qi in self.q[:ct.level + 1]])
+        sm = _col([_mont(scalar % qi, qi, self.word_bits)
+                   for qi in self.q[:ct.level + 1]], self.word_bits)
         return Ciphertext(data=_u.mont_mul(xp, ct.data, sm, ring.q, ring.pinv),
                           level=ct.level, is_ntt=ct.is_ntt)
 

@@ -31,7 +31,7 @@ from ..core import ntt as ntt_mod
 from ..core import u64 as _u
 
 from ..core.modring import get_rns_ring
-from ..core.rns import BasisConv, _col, _mont, _shoup
+from ..core.rns import BasisConv, _col, _mont, _shoup, _pinv
 
 _U64 = np.uint64
 
@@ -45,16 +45,18 @@ _USE_PALLAS = (os.environ.get('LATTISENSE_PALLAS_KSW',
 class RoundDivP:
     """c' = round(c / P): exact-up-to-small-error mod-down Q_ℓ∪P → Q_ℓ."""
 
-    def __init__(self, q_moduli: tuple[int, ...], p_moduli: tuple[int, ...]):
+    def __init__(self, q_moduli: tuple[int, ...], p_moduli: tuple[int, ...],
+                 word_bits: int = 64):
+        b = word_bits
         P = math.prod(p_moduli)
         half = P // 2
-        self.conv = BasisConv(p_moduli, q_moduli)
-        self.p_q = _col(p_moduli)
-        self.dst_q = _col(q_moduli)
-        self.dst_pinv = _col([(-pow(q, -1, 1 << 64)) % (1 << 64) for q in q_moduli])
-        self.half_p = _col([half % p for p in p_moduli])
-        self.half_q = _col([half % q for q in q_moduli])
-        self.pinv_mont = _col([_mont(pow(P % q, -1, q), q) for q in q_moduli])
+        self.conv = BasisConv(p_moduli, q_moduli, b)
+        self.p_q = _col(p_moduli, b)
+        self.dst_q = _col(q_moduli, b)
+        self.dst_pinv = _col([_pinv(q, b) for q in q_moduli], b)
+        self.half_p = _col([half % p for p in p_moduli], b)
+        self.half_q = _col([half % q for q in q_moduli], b)
+        self.pinv_mont = _col([_mont(pow(P % q, -1, q), q, b) for q in q_moduli], b)
 
     def __call__(self, xp, x_q, x_p):
         """x_q: (..., L, n), x_p: (..., |P|, n) → (..., L, n)."""
@@ -67,10 +69,12 @@ class RoundDivP:
 class KeySwitcher:
     """Per-parameter key-switch engine; per-level precomputes are cached."""
 
-    def __init__(self, q_moduli: tuple[int, ...], p_moduli: tuple[int, ...], n: int):
+    def __init__(self, q_moduli: tuple[int, ...], p_moduli: tuple[int, ...], n: int,
+                 word_bits: int = 64):
         self.q_moduli = tuple(int(q) for q in q_moduli)
         self.p_moduli = tuple(int(p) for p in p_moduli)
         self.n = n
+        self.word_bits = word_bits
         self.alpha = len(self.p_moduli)
 
     def beta(self, level: int) -> int:
@@ -89,12 +93,15 @@ class KeySwitcher:
         q = self.q_moduli[:L]
         qp = q + self.p_moduli
         T = len(qp)
-        ring_qp = get_rns_ring(qp, self.n)
+        wb = self.word_bits
+        from ..core.u64 import word_dtype
+        wdt = word_dtype(wb)
+        ring_qp = get_rns_ring(qp, self.n, wb)
 
-        qhat_inv = np.zeros((beta, alpha, 1), dtype=_U64)
-        qhat_inv_shoup = np.zeros((beta, alpha, 1), dtype=_U64)
-        src_q = np.ones((beta, alpha, 1), dtype=_U64)
-        qhat_conv = np.zeros((beta, T, alpha), dtype=_U64)
+        qhat_inv = np.zeros((beta, alpha, 1), dtype=wdt)
+        qhat_inv_shoup = np.zeros((beta, alpha, 1), dtype=wdt)
+        src_q = np.ones((beta, alpha, 1), dtype=wdt)
+        qhat_conv = np.zeros((beta, T, alpha), dtype=wdt)
         for d in range(beta):
             grp = q[d * alpha:(d + 1) * alpha]
             Qd = math.prod(grp)
@@ -102,12 +109,12 @@ class KeySwitcher:
                 h = Qd // qi
                 hinv = pow(h, -1, qi)
                 qhat_inv[d, j, 0] = hinv
-                qhat_inv_shoup[d, j, 0] = _shoup(hinv, qi)
+                qhat_inv_shoup[d, j, 0] = _shoup(hinv, qi, wb)
                 src_q[d, j, 0] = qi
                 for t, dt in enumerate(qp):
-                    qhat_conv[d, t, j] = _mont(h % dt, dt)
+                    qhat_conv[d, t, j] = _mont(h % dt, dt, wb)
         return ring_qp, qhat_inv, qhat_inv_shoup, src_q, qhat_conv, \
-            RoundDivP(q, self.p_moduli)
+            RoundDivP(q, self.p_moduli, wb)
 
     def decompose_modup_ntt(self, xp, x, level: int):
         """Digit-decompose + mod-up + NTT: x (..., L, n) coeff →
@@ -123,7 +130,8 @@ class KeySwitcher:
             x = xp.pad(x, widths)
         xg = x.reshape(*x.shape[:-2], beta, alpha, self.n)
         y = _u.shoup_mul(xp, xg, qhat_inv, qhat_inv_shoup, src_q)
-        if (_USE_PALLAS and xp.__name__ != 'numpy' and self.n >= 256):
+        if (_USE_PALLAS and xp.__name__ != 'numpy' and self.n >= 256
+                and y.dtype.itemsize == 8):
             xd = self._modup_fused(y, level)
         else:
             # grouped FastBConv: (..., β, 1, α, n) × (β, T, α, 1) → Σ_α
@@ -161,7 +169,8 @@ class KeySwitcher:
         beta = self.beta(level)
         kd = xp.concatenate([ksk.key_q[:beta, :, :L], ksk.key_p[:beta]], axis=2)
         if (_USE_PALLAS and xp.__name__ != 'numpy'
-                and digits_ntt.shape[-1] >= 256):
+                and digits_ntt.shape[-1] >= 256
+                and digits_ntt.dtype.itemsize == 8):
             from ..ops.ksw_pallas import ksw_inner_fused
             return ksw_inner_fused(digits_ntt, kd, ring_qp.q, ring_qp.pinv)
         terms = _u.mont_mul(xp, digits_ntt[..., :, None, :, :], kd,
@@ -177,7 +186,7 @@ class KeySwitcher:
         ring_qp, round_div = pre[0], pre[5]
         L = level + 1
         acc0, acc1 = self.inner_product(xp, digits, ksk, level)
-        ring_q = get_rns_ring(self.q_moduli[:L], self.n)
+        ring_q = get_rns_ring(self.q_moduli[:L], self.n, self.word_bits)
         outs = []
         for acc in (acc0, acc1):
             c = ntt_mod.intt(xp, acc, ring_qp)
