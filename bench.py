@@ -157,13 +157,38 @@ def main():
         _emit('bfv_rotate_col_n16384_L3_ops_per_s_per_chip', ops_s, 'ops/s',
               vs('bfv_rotate', ops_s))
 
-    # ---- scenario 1 (headline, printed last): BFV mult_relin ---------------
+    # ---- scenario 1: BFV mult_relin (reference u64 chains) -----------------
     _note('device: BFV mult_relin (compile)')
     fn = make_batched_step(bctx.engine, bfv_mult_relin, level, n_inputs=2)
     np.asarray(fn(a, b, bkeys))
     ops_s = _slope(fn, a, (b, bkeys), batch)
     _emit('bfv_mult_relin_n16384_L3_ops_per_s_per_chip', ops_s, 'ops/s',
           vs('bfv_mult_relin', ops_s))
+
+    # ---- headline (printed last): BFV mult_relin, TPU-native 31-bit word ---
+    # Same operation at equal-or-greater logQ (>= security, same t) on the
+    # 31-bit prime chains the hardware word favors (params.create_tpu_param;
+    # the reference's FPGA backend pins narrow chains for the same reason,
+    # frontend/custom_task.py:215). vs_baseline is the SAME host-native u64
+    # baseline — each platform on its natural parameterization.
+    _note('device: BFV mult_relin w32 (keygen)')
+    logq_l3 = sum(q.bit_length() for q in bp.q[:level + 1])
+    bp32 = BfvParams.create_tpu_param(16384)
+    lvl32 = 0
+    while sum(q.bit_length() for q in bp32.q[:lvl32 + 1]) < logq_l3:
+        lvl32 += 1
+    bctx32 = BfvContext.create_random_context(bp32, seed=7)
+    m32 = rng.integers(0, bp32.t, (2 * batch, bp32.n), dtype=np.uint64)
+    c32 = [bctx32.encrypt(bctx32.encode(m, lvl32)) for m in m32]
+    a32 = jax.device_put(np.stack([c.data for c in c32[:batch]]))
+    b32 = jax.device_put(np.stack([c.data for c in c32[batch:]]))
+    k32 = jax.device_put(key_tree(bctx32))
+    _note('device: BFV mult_relin w32 (compile)')
+    fn32 = make_batched_step(bctx32.engine, bfv_mult_relin, lvl32, n_inputs=2)
+    np.asarray(fn32(a32, b32, k32))
+    ops_s = _slope(fn32, a32, (b32, k32), batch)
+    _emit(f'bfv_mult_relin_n16384_logQ{logq_l3}_w32_ops_per_s_per_chip',
+          ops_s, 'ops/s', vs('bfv_mult_relin', ops_s))
 
 
 if __name__ == '__main__':
