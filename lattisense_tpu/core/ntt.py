@@ -53,6 +53,21 @@ def _pallas_ok(xp, n, dtype=None):
     return _USE_PALLAS and xp.__name__ != 'numpy' and n >= 256
 
 
+# 32-bit-word fused kernels (ops/ntt_pallas32.py): native u32 Shoup
+# butterflies (6 multiplies each — no u32-pair emulation). Chip-measured
+# 2026-08-17 (B=32, L=8, n=16384): fused 1.45 ms fwd / 2.07 inv vs the
+# XLA w32 path's 0.89 / 1.27 — for native u32 words XLA's own lowering
+# is already compute-efficient, and the per-stage interleave shuffles
+# dominate the Mosaic kernel (phase1 0.80 + phase2 0.56 ms). Default
+# OFF; opt in with LATTISENSE_PALLAS32=1 (bit-exact, tests force it).
+_PALLAS32_ENV = os.environ.get('LATTISENSE_PALLAS32', '0')
+
+
+def _pallas32_ok(xp, n, dtype):
+    return (dtype.itemsize == 4 and xp.__name__ != 'numpy' and n >= 256
+            and _PALLAS32_ENV not in ('', '0'))
+
+
 def ntt(xp, x, ring):
     """Forward negacyclic NTT. x: u64 (..., L, n) in [0, q). Output bit-reversed."""
     if xp.__name__ == 'numpy':
@@ -70,6 +85,9 @@ def ntt(xp, x, ring):
         from ..ops import ntt_mxu
         if ntt_mxu.enabled(xp, x.shape[-1], x.dtype):
             return ntt_mxu.ntt(xp, x, ring)
+        if _pallas32_ok(xp, x.shape[-1], x.dtype):
+            from ..ops.ntt_pallas32 import ntt_fused32
+            return ntt_fused32(x, ring)
     if _pallas_ok(xp, x.shape[-1], x.dtype):
         from ..ops.ntt_pallas import ntt_fused
         return ntt_fused(x, ring)
@@ -182,6 +200,9 @@ def intt(xp, x, ring):
         from ..ops import ntt_mxu
         if ntt_mxu.enabled(xp, x.shape[-1], x.dtype):
             return ntt_mxu.intt(xp, x, ring)
+        if _pallas32_ok(xp, x.shape[-1], x.dtype):
+            from ..ops.ntt_pallas32 import intt_fused32
+            return intt_fused32(x, ring)
     if _pallas_ok(xp, x.shape[-1], x.dtype) and _USE_PALLAS_INTT:
         from ..ops.ntt_pallas import intt_fused
         return intt_fused(x, ring)

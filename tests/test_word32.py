@@ -173,3 +173,55 @@ def test_pt_formats_word32(ctx_pair):
         assert np.array_equal(got, (msg * w) % 257), type(pt)
     got = c32.decrypt_decode(c32.add(e, c32.encode_ringt(w)))
     assert np.array_equal(got, (msg + w) % 257)
+
+
+# ---------------------------------------------------------------------------
+# fused u32 Pallas kernels (ops/ntt_pallas32.py) — interpret mode on CPU
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('n,batch', [(256, (1,)), (256, (3,)), (1024, (2, 2))])
+def test_pallas32_ntt_bit_exact(n, batch):
+    from lattisense_tpu.ops.ntt_pallas32 import intt_fused32, ntt_fused32
+    chain = tuple(gen_ntt_primes(n, 31, 3))
+    ring = get_rns_ring(chain, n, 32)
+    rng = np.random.default_rng(5)
+    x = np.stack([[rng.integers(0, qi, n, dtype=np.uint64).astype(np.uint32)
+                   for qi in chain]
+                  for _ in range(int(np.prod(batch)))])
+    x = x.reshape(*batch, len(chain), n)
+    want_f = ntt_mod.ntt(np, x, ring)
+    got_f = np.asarray(ntt_fused32(jnp.asarray(x), ring))
+    assert got_f.dtype == np.uint32
+    assert np.array_equal(got_f, want_f)
+    got_i = np.asarray(intt_fused32(jnp.asarray(want_f), ring))
+    assert np.array_equal(got_i, x)
+
+
+def test_pallas32_vmap_collapses():
+    from lattisense_tpu.ops.ntt_pallas32 import ntt_fused32
+    import jax
+    n = 256
+    chain = tuple(gen_ntt_primes(n, 31, 2))
+    ring = get_rns_ring(chain, n, 32)
+    rng = np.random.default_rng(6)
+    x = np.stack([[rng.integers(0, qi, n, dtype=np.uint64).astype(np.uint32)
+                   for qi in chain]
+                  for _ in range(4)])
+    want = ntt_mod.ntt(np, x, ring)
+    got = np.asarray(jax.vmap(lambda v: ntt_fused32(v, ring))(jnp.asarray(x)))
+    assert np.array_equal(got, want)
+
+
+def test_pallas32_dispatch_gate(monkeypatch):
+    n = 256
+    chain = tuple(gen_ntt_primes(n, 31, 2))
+    ring = get_rns_ring(chain, n, 32)
+    rng = np.random.default_rng(7)
+    x = np.stack([rng.integers(0, qi, n, dtype=np.uint64).astype(np.uint32)
+                  for qi in chain])
+    want = ntt_mod.ntt(np, x, ring)
+    monkeypatch.setattr(ntt_mod, '_PALLAS32_ENV', '1')
+    got = np.asarray(ntt_mod.ntt(jnp, jnp.asarray(x), ring))
+    back = np.asarray(ntt_mod.intt(jnp, jnp.asarray(got), ring))
+    assert np.array_equal(got, want)
+    assert np.array_equal(back, x)
