@@ -369,6 +369,10 @@ void key_switch(const Pool& P, const u64* x, const u64* key, u64* e0, u64* e1,
                 u64 v = addmod(a[(Lq + i) * n + j], half_p[i], p_mod[i]);
                 yp[i * n + j] = shoup_mul(v, rd_qhi[i], rd_qhi_sh[i], p_mod[i]);
             }
+        // HPS overflow correction (bit-parity with RoundDivP.__call__:
+        // same reciprocal-multiply then sequential sum in double)
+        double ipf[64];
+        for (long i = 0; i < alpha; ++i) ipf[i] = 1.0 / (double)p_mod[i];
         for (long i = 0; i < Lq; ++i) {
             u64 qi = q[i], pi = qpinv[i];
             for (long j = 0; j < n; ++j) {
@@ -378,7 +382,11 @@ void key_switch(const Pool& P, const u64* x, const u64* key, u64* e0, u64* e1,
                                   mont_mul(yp[j2 * n + j], rd_dst[i * alpha + j2], qi, pi),
                                   qi);
                 u64 num = submod(addmod(a[i * n + j], half_q[i], qi), conv, qi);
-                outs[c][i * n + j] = mont_mul(num, pinv_mont[i], qi, pi);
+                u64 e = mont_mul(num, pinv_mont[i], qi, pi);
+                double f = 0.0;
+                for (long j2 = 0; j2 < alpha; ++j2)
+                    f += (double)yp[j2 * n + j] * ipf[j2];
+                outs[c][i * n + j] = addmod(e, (u64)f, qi);
             }
         }
     }

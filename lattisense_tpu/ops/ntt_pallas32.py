@@ -1,40 +1,42 @@
 """Fused Pallas NTT for 32-bit words (31-bit prime chains, word_bits=32).
 
-Single-plane u32 twin of ops/ntt_pallas.py: all butterfly stages of a
-transform run inside one kernel pair with the rows resident in VMEM. The
-u64 kernels emulate every 64-bit modmul from u32 pairs (~24 native
-multiplies); here values ARE the machine word, so a Shoup butterfly is 6
-native multiplies.
+Single-plane u32 twin of ops/ntt_pallas.py: ALL butterfly stages of a
+transform run inside ONE kernel per direction with the rows resident in
+VMEM. Values are the machine word, so a Shoup butterfly is 6 native
+multiplies (no u32-pair emulation).
 
-Chip verdict (v5e-lite, 2026-08-17, B=32 L=8 n=16384): bit-exact both
-directions, but SLOWER than the XLA w32 path in isolation (fwd 1.45 vs
-0.89 ms; inv 2.07 vs 1.27) — with native u32 words XLA's own elementwise
-lowering is compute-efficient, and this kernel's per-stage interleave
-shuffles dominate (phase1 0.80 ms, phase2 0.56 ms; raw VPU rate would be
-~0.16 ms). Gated OFF by default (LATTISENSE_PALLAS32=1 opts in); kept as
-the validated Mosaic template for parts where the balance differs.
+The decisive layout rule (chip-measured 2026-08-17, /tmp idiom sweep):
+Mosaic lowers `reshape(R, m, 2, t) + stack(axis=2)` butterflies at
+~0.35 Tops/s, but the 2D-FOLD idiom — `reshape(R·m, 2t)` (or
+`(R, m, 2t)`), slice the two last-axis halves, `concatenate` them back
+on the last axis — at ~2.3 Tops/s, independent of the block count m
+(14 stages of 256 limb-rows in 0.34-0.45 ms vs 2.5-3.9 ms). The entire
+kernel is therefore expressed with last-axis slices/concats only, and
+every stage's twiddles are PRE-EXPANDED host-side to the exact (m, t)
+broadcast shape so no table reshape/relayout happens in-kernel.
 
-Structure mirrors ops/ntt_pallas.py (all of whose chip-measured layout
-rules carry over):
+Structure:
 
 - forward: CT butterflies, natural-order input -> bit-reversed output,
-  descending distances; stages with t >= 128 on the (m, 2, t) view, then
-  a tile transpose so t < 128 become sublane strides (output comes back
-  tile-transposed; undone outside in XLA).
+  descending distances. Stages with t >= 128 on the natural (R, n)
+  layout; then one in-VMEM tile transpose to (R, LANES, sub) where the
+  sub-lane distances t < 128 become lane-block strides of width t*sub
+  >= 128; output returned tile-transposed (undone by one XLA relayout
+  outside).
 - inverse: bit-reversal-conjugated GS with DESCENDING distances
-  (P . GS . P) — Mosaic compiles shrinking-distance stage sequences ~5x
-  faster than growing ones (round-1 finding, NOTES.md).
-- index maps strictly int32 under jax_enable_x64; per-limb constants in
-  SMEM; vmem_limit raised for the unrolled stage temporaries.
+  (P . GS . P, P applied outside as one (2,)*logn axis-reversal
+  transpose) — ascending-distance stage sequences compile ~3-5x slower
+  in both backends (round-1 finding, NOTES.md).
+- per-limb constants in SMEM; index maps strictly int32 under
+  jax_enable_x64 (Mosaic i64 legalization traps).
 
 Reference parity: the transform semantics (negacyclic, psi_rev tables,
-evaluation order) follow the reference kernels' contract
-(/root/reference frontend fhe ops); bit-exactness is asserted against
-core/ntt.py in tests/test_word32.py.
+bit-reversed evaluation order) follow the same contract as core/ntt.py,
+which replaces the reference's Lattigo/HEonGPU NTT kernels (SURVEY.md
+§2.5); bit-exactness vs core/ntt.py is asserted by tests/test_word32.py.
 """
 
 import functools
-import os
 
 import numpy as np
 
@@ -82,57 +84,101 @@ def _submod32(a, b, q):
 
 
 # ---------------------------------------------------------------------------
-# forward kernels (CT, natural -> bit-reversed, descending distances)
+# kernels (one per direction; all stages + the tile transpose inside)
 # ---------------------------------------------------------------------------
 
-def _phase1_kernel(logn, rows, q_ref, x_ref, tw_ref, ts_ref, o_ref):
-    """Stages with butterfly distance t >= LANES (natural layout)."""
-    n = 1 << logn
-    limb = pl.program_id(0)
-    q = q_ref[limb, 0]
-    v = x_ref[...]
-    m = 1
-    t = n
-    while t > LANES:
-        t //= 2
-        p = v.reshape(rows, m, 2, t)
-        w = tw_ref[0, 0, m:2 * m].reshape(1, m, 1)
-        ws = ts_ref[0, 0, m:2 * m].reshape(1, m, 1)
-        b = _shoup32(p[:, :, 1], w, ws, q)
-        u = p[:, :, 0]
-        v = jnp.stack([_addmod32(u, b, q), _submod32(u, b, q)],
-                      axis=2).reshape(rows, n)
-        m *= 2
-    o_ref[...] = v
-
-
-def _phase2_kernel(logn, rows, q_ref, x_ref, lt_ref, ls_ref, o_ref):
-    """Tile transpose + the 7 sub-LANES stages (twiddles pre-permuted)."""
+def _fwd_kernel(logn, rows, q_ref, x_ref, *refs):
+    """CT forward, natural input -> bit-reversed output in the transposed
+    tile layout. refs = w_0, ws_0, w_1, ws_1, ... one (1, m, t[*sub])
+    pre-expanded pair per stage."""
     n = 1 << logn
     sub = n // LANES
     limb = pl.program_id(0)
     q = q_ref[limb, 0]
-    v = x_ref[...].reshape(rows, sub, LANES).swapaxes(1, 2)
-    off = 0
-    mb = 1
+    v = x_ref[...]
+    si = 0
+    # phase A: butterfly distance t = n/2 .. 128 on the natural layout
+    m = 1
+    t = n
+    while t > LANES:
+        t //= 2
+        w = refs[2 * si][...]
+        ws = refs[2 * si + 1][...]
+        p = v.reshape(rows, m, 2 * t)
+        u = p[..., :t]
+        b = _shoup32(p[..., t:], w, ws, q)
+        v = jnp.concatenate([_addmod32(u, b, q), _submod32(u, b, q)],
+                            axis=-1).reshape(rows, n)
+        m *= 2
+        si += 1
+    # tile transpose: index j = a*LANES + b  ->  [b, a]; remaining
+    # distances t < 128 become lane strides of width t*sub
+    v = v.reshape(rows, sub, LANES).swapaxes(1, 2)
     tb = LANES
     while tb > 1:
         tb //= 2
-        p = v.reshape(rows, mb, 2, tb, sub)
-        cnt = mb * sub
-        w = lt_ref[0, 0, off:off + cnt].reshape(1, mb, 1, sub)
-        ws = ls_ref[0, 0, off:off + cnt].reshape(1, mb, 1, sub)
-        b = _shoup32(p[:, :, 1], w, ws, q)
-        u = p[:, :, 0]
-        v = jnp.stack([_addmod32(u, b, q), _submod32(u, b, q)],
-                      axis=2).reshape(rows, LANES, sub)
-        off += cnt
-        mb *= 2
+        mb = LANES // (2 * tb)
+        w = refs[2 * si][...]
+        ws = refs[2 * si + 1][...]
+        p = v.reshape(rows, mb, 2 * tb * sub)
+        u = p[..., :tb * sub]
+        b = _shoup32(p[..., tb * sub:], w, ws, q)
+        v = jnp.concatenate([_addmod32(u, b, q), _submod32(u, b, q)],
+                            axis=-1)
+        si += 1
+    # undo the tile transpose in VMEM: output in standard bit-reversed order
+    v = v.reshape(rows, LANES, sub).swapaxes(1, 2)
+    o_ref = refs[-1]
+    o_ref[...] = v.reshape(rows, n)
+
+
+def _inv_kernel(logn, rows, qn_ref, x_ref, *refs):
+    """Plain GS inverse, bit-reversed input -> natural output, ASCENDING
+    distances (the fold idiom removes the old ascending-sequence penalty),
+    then the n^-1 scale. Sub-lane distances t < 128 run first in the
+    transposed tile layout; no external bit-reversal passes needed."""
+    n = 1 << logn
+    sub = n // LANES
+    limb = pl.program_id(0)
+    q = qn_ref[limb, 0]
+    v = x_ref[...].reshape(rows, sub, LANES).swapaxes(1, 2)
+    si = 0
+    tb = 1
+    while tb < LANES:
+        mb = LANES // (2 * tb)
+        w = refs[2 * si][...]
+        ws = refs[2 * si + 1][...]
+        p = v.reshape(rows, mb, 2 * tb * sub)
+        u = p[..., :tb * sub]
+        b = p[..., tb * sub:]
+        s = _addmod32(u, b, q)
+        d = _shoup32(_submod32(u, b, q), w, ws, q)
+        v = jnp.concatenate([s, d], axis=-1)
+        si += 1
+        tb *= 2
+    v = v.reshape(rows, LANES, sub).swapaxes(1, 2).reshape(rows, n)
+    t = LANES
+    while t < n:
+        m = n // (2 * t)
+        w = refs[2 * si][...]
+        ws = refs[2 * si + 1][...]
+        p = v.reshape(rows, m, 2 * t)
+        u = p[..., :t]
+        b = p[..., t:]
+        s = _addmod32(u, b, q)
+        d = _shoup32(_submod32(u, b, q), w, ws, q)
+        v = jnp.concatenate([s, d], axis=-1).reshape(rows, n)
+        si += 1
+        t *= 2
+    ni = qn_ref[limb, 1]
+    ns = qn_ref[limb, 2]
+    v = _shoup32(v, ni, ns, q)
+    o_ref = refs[-1]
     o_ref[...] = v.reshape(rows, n)
 
 
 # ---------------------------------------------------------------------------
-# host-side tables
+# host-side tables (pre-expanded to the exact in-kernel broadcast shapes)
 # ---------------------------------------------------------------------------
 
 _RING_STASH: dict = {}
@@ -144,138 +190,101 @@ def _stash(ring):
     return key
 
 
+def _stage_plan(logn):
+    """[(m, t, transposed)] for the fused stage order."""
+    n = 1 << logn
+    plan = []
+    t = n
+    while t > LANES:
+        t //= 2
+        plan.append((n // (2 * t), t, False))
+    tb = LANES
+    while tb > 1:
+        tb //= 2
+        plan.append((LANES // (2 * tb), tb, True))
+    return plan
+
+
 @functools.lru_cache(maxsize=None)
 def _tables(ring_key):
+    """Forward per-stage tables, each expanded to (L, m, width):
+    phase A width=t (value psi_rev[m+g], constant over t); phase B
+    width=tb*sub (entry [g, jj*sub + a] = psi_rev[m_orig + a*(128/2t) + g],
+    m_orig = n/(2t) — derived from the original butterfly block index of
+    position a*LANES + g*2t + jj)."""
     ring, = _RING_STASH[ring_key]
     n = ring.n
     L = len(ring.moduli)
-    sub = n // LANES
     logn = n.bit_length() - 1
+    sub = n // LANES
 
     tw = np.ascontiguousarray(ring.psi_rev, dtype=np.uint32)        # (L, n)
     ts = np.ascontiguousarray(ring.psi_rev_shoup, dtype=np.uint32)
 
-    # sub-LANES stage twiddles permuted into the transposed tile layout
-    # (same derivation as ntt_pallas._tables)
-    lt_list, ls_list = [], []
-    t = LANES
-    while t > 1:
-        t //= 2
-        m = n // (2 * t)
-        mb = LANES // (2 * t)
-        g = (np.arange(sub)[None, :] * mb +
-             np.arange(mb)[:, None]).reshape(-1)          # (mb*sub,)
-        lt_list.append(tw[:, m + g])
-        ls_list.append(ts[:, m + g])
-    lt = np.concatenate(lt_list, axis=1)
-    ls = np.concatenate(ls_list, axis=1)
-
+    stages = []
+    for m, t, transposed in _stage_plan(logn):
+        if not transposed:
+            idx = np.broadcast_to((m + np.arange(m))[:, None], (m, t))
+        else:
+            m_orig = n // (2 * t)
+            blk = LANES // (2 * t)
+            g = np.arange(m)[:, None, None]
+            a = np.arange(sub)[None, None, :]
+            idx = np.broadcast_to(m_orig + a * blk + g,
+                                  (m, t, sub)).reshape(m, t * sub)
+        stages.append((np.ascontiguousarray(tw[:, idx]),
+                       np.ascontiguousarray(ts[:, idx])))
     q = np.asarray(ring.q, dtype=np.uint32).reshape(L, 1)           # (L, 1)
-    return (logn, L, sub, tw, ts, lt, ls, q)
+    return (logn, L, sub, stages, q)
+
+
+def _inv_stage_plan(logn):
+    """[(m, t, transposed)] for the inverse: ascending distances."""
+    plan = []
+    tb = 1
+    while tb < LANES:
+        plan.append((LANES // (2 * tb), tb, True))
+        tb *= 2
+    n = 1 << logn
+    t = LANES
+    while t < n:
+        plan.append((n // (2 * t), t, False))
+        t *= 2
+    return plan
 
 
 @functools.lru_cache(maxsize=None)
-def _ctables(ring_key):
-    """Conjugated-inverse twiddles: W[stage pos p] = psi_inv_rev[m_core +
-    (brv(p) >> (k+1))] — see ntt_pallas._ctables for the derivation."""
+def _itables(ring_key):
+    """Inverse (plain GS) per-stage tables: psi_inv_rev[m + g_orig] with
+    the same block-index expansion as the forward tables."""
     ring, = _RING_STASH[ring_key]
     n = ring.n
     L = len(ring.moduli)
     logn = n.bit_length() - 1
     sub = n // LANES
 
-    brv = np.zeros(n, dtype=np.int64)
-    for bit in range(logn):
-        brv |= ((np.arange(n) >> bit) & 1) << (logn - 1 - bit)
-
     tinv = np.ascontiguousarray(ring.psi_inv_rev, dtype=np.uint32)
     tinv_s = np.ascontiguousarray(ring.psi_inv_rev_shoup, dtype=np.uint32)
 
-    def stage_idx(T, transposed):
-        T = int(T)
-        k = logn - 1 - (T.bit_length() - 1)
-        m_core = n >> (k + 1)
+    stages = []
+    for m, t, transposed in _inv_stage_plan(logn):
+        m_orig = n // (2 * t)
         if not transposed:
-            m = n // (2 * T)
-            p = (np.arange(m)[:, None] * 2 * T +
-                 np.arange(T)[None, :]).reshape(-1)
+            idx = np.broadcast_to((m_orig + np.arange(m))[:, None], (m, t))
         else:
-            mb = LANES // (2 * T)
-            p = (np.arange(mb)[:, None, None] * 2 * T +
-                 np.arange(T)[None, :, None] +
-                 np.arange(sub)[None, None, :] * LANES).reshape(-1)
-        return m_core + (brv[p] >> (k + 1))
-
-    idx1 = np.concatenate([stage_idx(T, False)
-                           for T in (1 << np.arange(logn - 1, 6, -1))])
-    idx2 = np.concatenate([stage_idx(T, True)
-                           for T in (1 << np.arange(6, -1, -1))])
-    w1 = tinv[:, idx1]
-    s1 = tinv_s[:, idx1]
-    w2 = tinv[:, idx2]
-    s2 = tinv_s[:, idx2]
+            blk = LANES // (2 * t)
+            g = np.arange(m)[:, None, None]
+            a = np.arange(sub)[None, None, :]
+            idx = np.broadcast_to(m_orig + a * blk + g,
+                                  (m, t, sub)).reshape(m, t * sub)
+        stages.append((np.ascontiguousarray(tinv[:, idx]),
+                       np.ascontiguousarray(tinv_s[:, idx])))
 
     qn = np.stack([np.asarray(ring.q, dtype=np.uint32).reshape(-1),
                    np.asarray([r.n_inv for r in ring.rings], dtype=np.uint32),
                    np.asarray([r.n_inv_shoup for r in ring.rings],
                               dtype=np.uint32)], axis=1)            # (L, 3)
-    return (logn, L, sub, w1, s1, w2, s2, qn)
-
-
-# ---------------------------------------------------------------------------
-# inverse kernels (bit-reversal-conjugated GS, descending distances)
-# ---------------------------------------------------------------------------
-
-def _cinv1_kernel(logn, rows, qn_ref, x_ref, w_ref, s_ref, o_ref):
-    """Conjugated-GS stages, distances n/2 .. LANES (natural layout)."""
-    n = 1 << logn
-    limb = pl.program_id(0)
-    q = qn_ref[limb, 0]
-    v = x_ref[...]
-    off = 0
-    t = n
-    while t > LANES:
-        t //= 2
-        m = n // (2 * t)
-        p = v.reshape(rows, m, 2, t)
-        cnt = m * t
-        w = w_ref[0, 0, off:off + cnt].reshape(1, m, t)
-        ws = s_ref[0, 0, off:off + cnt].reshape(1, m, t)
-        u = p[:, :, 0]
-        b = p[:, :, 1]
-        s = _addmod32(u, b, q)
-        d = _shoup32(_submod32(u, b, q), w, ws, q)
-        v = jnp.stack([s, d], axis=2).reshape(rows, n)
-        off += cnt
-    o_ref[...] = v
-
-
-def _cinv2_kernel(logn, rows, qn_ref, x_ref, w_ref, s_ref, o_ref):
-    """Tile transpose + conjugated-GS stages LANES/2 .. 1, then n^-1."""
-    n = 1 << logn
-    sub = n // LANES
-    limb = pl.program_id(0)
-    q = qn_ref[limb, 0]
-    v = x_ref[...].reshape(rows, sub, LANES).swapaxes(1, 2)
-    off = 0
-    tb = LANES
-    while tb > 1:
-        tb //= 2
-        mb = LANES // (2 * tb)
-        p = v.reshape(rows, mb, 2, tb, sub)
-        cnt = mb * tb * sub
-        w = w_ref[0, 0, off:off + cnt].reshape(1, mb, tb, sub)
-        ws = s_ref[0, 0, off:off + cnt].reshape(1, mb, tb, sub)
-        u = p[:, :, 0]
-        b = p[:, :, 1]
-        s = _addmod32(u, b, q)
-        d = _shoup32(_submod32(u, b, q), w, ws, q)
-        v = jnp.stack([s, d], axis=2).reshape(rows, LANES, sub)
-        off += cnt
-    ni = qn_ref[limb, 1]
-    ns = qn_ref[limb, 2]
-    v = _shoup32(v, ni, ns, q)
-    o_ref[...] = v.reshape(rows, n)
+    return (logn, L, sub, stages, qn)
 
 
 # ---------------------------------------------------------------------------
@@ -292,83 +301,38 @@ _CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024,
                                                      'arbitrary'))
 
 
-def _specs(L, total_rows, R, n, widths, smem_cols):
-    def row_spec():
-        bpl = total_rows // R
-        return pl.BlockSpec((R, n), lambda l, r: _im(l * bpl + r, 0),
-                            memory_space=pltpu.VMEM)
+def _run(kernel, x, stage_tabs, smem_tab, *, logn, L, rows_per_block,
+         smem_cols):
+    n = 1 << logn
+    total_rows = x.shape[0] // L
+    R = rows_per_block
+    grid = (L, total_rows // R)
+    bpl = total_rows // R
 
-    def tbl_spec(width):
-        return pl.BlockSpec((1, 1, width), lambda l, r: _im(l, 0, 0),
+    row_spec = pl.BlockSpec((R, n), lambda l, r: _im(l * bpl + r, 0),
                             memory_space=pltpu.VMEM)
-
     smem = pl.BlockSpec((L, smem_cols), lambda l, r: _im(0, 0),
                         memory_space=pltpu.SMEM)
-    return row_spec, tbl_spec, smem
+    tab_specs = []
+    tab_args = []
+    for w, ws in stage_tabs:
+        m, width = w.shape[1], w.shape[2]
+        spec = pl.BlockSpec((1, m, width), lambda l, r: _im(l, 0, 0),
+                            memory_space=pltpu.VMEM)
+        tab_specs += [spec, spec]
+        tab_args += [w, ws]
 
-
-@functools.partial(jax.jit, static_argnames=('logn', 'L', 'rows_per_block'))
-def _launch(x, tw, ts, lt, ls, q, *, logn, L, rows_per_block):
-    n = 1 << logn
-    total_rows = x.shape[0] // L
-    grid = (L, total_rows // rows_per_block)
-    R = rows_per_block
-    lt_n = lt.shape[-1]
-    tw, ts = (a.reshape(L, 1, n) for a in (tw, ts))
-    lt, ls = (a.reshape(L, 1, lt_n) for a in (lt, ls))
     interp = jax.default_backend() == 'cpu'
-    row_spec, tbl_spec, smem = _specs(L, total_rows, R, n, None, 1)
-
-    m = pl.pallas_call(
-        functools.partial(_phase1_kernel, logn, R),
+    f = pl.pallas_call(
+        functools.partial(kernel, logn, R),
         interpret=interp,
         compiler_params=_CPARAMS,
         grid=grid,
-        in_specs=[smem, row_spec(), tbl_spec(n), tbl_spec(n)],
-        out_specs=row_spec(),
+        in_specs=[smem, row_spec] + tab_specs,
+        out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
-    )(q, x, tw, ts)
-    return pl.pallas_call(
-        functools.partial(_phase2_kernel, logn, R),
-        interpret=interp,
-        compiler_params=_CPARAMS,
-        grid=grid,
-        in_specs=[smem, row_spec(), tbl_spec(lt_n), tbl_spec(lt_n)],
-        out_specs=row_spec(),
-        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
-    )(q, m, lt, ls)
-
-
-@functools.partial(jax.jit, static_argnames=('logn', 'L', 'rows_per_block'))
-def _claunch(x, w1, s1, w2, s2, qn, *, logn, L, rows_per_block):
-    n = 1 << logn
-    total_rows = x.shape[0] // L
-    grid = (L, total_rows // rows_per_block)
-    R = rows_per_block
-    n1, n2 = w1.shape[-1], w2.shape[-1]
-    w1, s1 = (a.reshape(L, 1, n1) for a in (w1, s1))
-    w2, s2 = (a.reshape(L, 1, n2) for a in (w2, s2))
-    interp = jax.default_backend() == 'cpu'
-    row_spec, tbl_spec, smem = _specs(L, total_rows, R, n, None, 3)
-
-    m = pl.pallas_call(
-        functools.partial(_cinv1_kernel, logn, R),
-        interpret=interp,
-        compiler_params=_CPARAMS,
-        grid=grid,
-        in_specs=[smem, row_spec(), tbl_spec(n1), tbl_spec(n1)],
-        out_specs=row_spec(),
-        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
-    )(qn, x, w1, s1)
-    return pl.pallas_call(
-        functools.partial(_cinv2_kernel, logn, R),
-        interpret=interp,
-        compiler_params=_CPARAMS,
-        grid=grid,
-        in_specs=[smem, row_spec(), tbl_spec(n2), tbl_spec(n2)],
-        out_specs=row_spec(),
-        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
-    )(qn, m, w2, s2)
+    )
+    return f(smem_tab, x, *tab_args)
 
 
 # ---------------------------------------------------------------------------
@@ -386,44 +350,26 @@ def _regroup(x, L, n, rows_per_block):
     return xr.reshape(-1, n), batch, batch + pad_rows, shape
 
 
-@functools.lru_cache(maxsize=None)
-def _brv_perm_axes(logn: int, k: int):
-    return tuple(range(k)) + tuple(range(k + logn - 1, k - 1, -1))
-
-
-def _brv_apply(x, n):
-    """Bit-reversal of the last axis as ONE transpose (bit-axes reversal)."""
-    logn = n.bit_length() - 1
-    lead = x.shape[:-1]
-    x = x.reshape(*lead, *((2,) * logn))
-    return x.transpose(_brv_perm_axes(logn, len(lead))).reshape(*lead, n)
-
-
 def _ntt_fused_impl(x, ring, rows_per_block: int = 8):
     key = _stash(ring)
-    logn, L, sub, tw, ts, lt, ls, q = _tables(key)
+    # tables stay numpy in the cache: converting to jax arrays here would
+    # create per-trace constants, and caching those leaks tracers
+    logn, L, sub, stages, q = _tables(key)
     n = 1 << logn
     xr, batch, batch_p, shape = _regroup(x, L, n, rows_per_block)
-    out = _launch(xr, jnp.asarray(tw), jnp.asarray(ts), jnp.asarray(lt),
-                  jnp.asarray(ls), jnp.asarray(q), logn=logn, L=L,
-                  rows_per_block=rows_per_block)
-    # undo the kernel tile transpose
-    out = out.reshape(-1, LANES, sub).swapaxes(1, 2).reshape(-1, n)
+    out = _run(_fwd_kernel, xr, stages, q, logn=logn, L=L,
+               rows_per_block=rows_per_block, smem_cols=1)
     out = out.reshape(L, batch_p, n)[:, :batch]
     return jnp.moveaxis(out, 0, 1).reshape(shape)
 
 
 def _intt_fused_impl(x, ring, rows_per_block: int = 8):
     key = _stash(ring)
-    logn, L, sub, w1, s1, w2, s2, qn = _ctables(key)
+    logn, L, sub, stages, qn = _itables(key)
     n = 1 << logn
-    xr, batch, batch_p, shape = _regroup(_brv_apply(x, n), L, n,
-                                         rows_per_block)
-    out = _claunch(xr, jnp.asarray(w1), jnp.asarray(s1), jnp.asarray(w2),
-                   jnp.asarray(s2), jnp.asarray(qn), logn=logn, L=L,
-                   rows_per_block=rows_per_block)
-    out = out.reshape(-1, LANES, sub).swapaxes(1, 2).reshape(-1, n)
-    out = _brv_apply(out, n)
+    xr, batch, batch_p, shape = _regroup(x, L, n, rows_per_block)
+    out = _run(_inv_kernel, xr, stages, qn, logn=logn, L=L,
+               rows_per_block=rows_per_block, smem_cols=3)
     out = out.reshape(L, batch_p, n)[:, :batch]
     return jnp.moveaxis(out, 0, 1).reshape(shape)
 

@@ -129,6 +129,7 @@ class ShardedKeySwitcher:
         rd_half_p = np.asarray(rd.half_p)
         rd_qhat_inv = np.asarray(rd.conv.qhat_inv)
         rd_qhat_inv_shoup = np.asarray(rd.conv.qhat_inv_shoup)
+        rd_p_inv_f = np.asarray(rd.p_inv_f)               # (α, 1)
         rd_conv_pad = padT(rd.conv.qhat_dst_mont)         # (T_pad, α)
         half_q_pad = padT(rd.half_q)
         pmont_pad = padT(rd.pinv_mont)
@@ -201,7 +202,12 @@ class ShardedKeySwitcher:
             num = _u.submod(jnp, _u.addmod(jnp, c, sl(half_q_pad), q_loc),
                             conv_loc, q_loc)
             e = _u.mont_mul(jnp, num, sl(pmont_pad), q_loc, sl(pinv_pad))
-            return e
+            # HPS overflow correction — must mirror RoundDivP.__call__
+            # exactly (bit-parity with the single-device path): the
+            # conversion overflow v = floor(Σ_j y_j/p_j) is added back.
+            frac = (y.astype(jnp.float64) * rd_p_inv_f).sum(axis=-2)
+            v = jnp.floor(frac).astype(e.dtype)[..., None, :]
+            return _u.addmod(jnp, e, v, q_loc)
 
         in_specs = (P(), P('limb'), P('limb'), P('limb'), P('limb'), P('limb'))
         shard_fn = jax.jit(jax.shard_map(

@@ -43,7 +43,17 @@ _USE_PALLAS = (os.environ.get('LATTISENSE_PALLAS_KSW',
 
 
 class RoundDivP:
-    """c' = round(c / P): exact-up-to-small-error mod-down Q_ℓ∪P → Q_ℓ."""
+    """c' = round(c / P): exact mod-down Q_ℓ∪P → Q_ℓ.
+
+    The FastBConv of the P-part overflows by v·P, v ∈ [0, |P|) NON-centered;
+    carried into the division it becomes a -v error on every output
+    coefficient. Convolved with the secret's partial-sum random walk
+    (negacyclic wrap signs), the mean of v produced a COHERENT low-frequency
+    error of ~2^20 absolute (measured round 2: 8e-7 relative per rotation at
+    Δ=2^40 — the bootstrap precision floor). The HPS-style float estimate
+    v = floor(Σ_j y_j/p_j) recovers the overflow exactly (misround
+    probability ~2^-50, unbiased) and is added back, leaving only the
+    ±1/2-centered division rounding (~2^4 incoherent)."""
 
     def __init__(self, q_moduli: tuple[int, ...], p_moduli: tuple[int, ...],
                  word_bits: int = 64):
@@ -54,16 +64,26 @@ class RoundDivP:
         self.p_q = _col(p_moduli, b)
         self.dst_q = _col(q_moduli, b)
         self.dst_pinv = _col([_pinv(q, b) for q in q_moduli], b)
-        self.half_p = _col([half % p for p in p_moduli], b)
+        self.half_p = _col(
+            [half % p for p in p_moduli], b)
         self.half_q = _col([half % q for q in q_moduli], b)
         self.pinv_mont = _col([_mont(pow(P % q, -1, q), q, b) for q in q_moduli], b)
+        self.p_inv_f = (1.0 / np.array(p_moduli, dtype=np.float64)).reshape(
+            len(p_moduli), 1)
 
     def __call__(self, xp, x_q, x_p):
         """x_q: (..., L, n), x_p: (..., |P|, n) → (..., L, n)."""
         xp2 = _u.addmod(xp, x_p, self.half_p, self.p_q)
-        conv = self.conv(xp, xp2)
+        y = self.conv.decompose(xp, xp2)
+        conv = self.conv.convert(xp, y)
         num = _u.submod(xp, _u.addmod(xp, x_q, self.half_q, self.dst_q), conv, self.dst_q)
-        return _u.mont_mul(xp, num, self.pinv_mont, self.dst_q, self.dst_pinv)
+        out = _u.mont_mul(xp, num, self.pinv_mont, self.dst_q, self.dst_pinv)
+        # overflow correction (see class docstring): Σ_j y_j/p_j = δ + v
+        # with δ = (x mod P)/P ∈ [0, 1), so v = floor(Σ frac). float64
+        # keeps each term exact to 2^-53 (y_j < p_j < 2^62).
+        frac = (y.astype(xp.float64) * self.p_inv_f).sum(axis=-2)
+        v = xp.floor(frac).astype(out.dtype)[..., None, :]
+        return _u.addmod(xp, out, v, self.dst_q)
 
 
 class KeySwitcher:
