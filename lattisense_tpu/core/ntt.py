@@ -54,18 +54,23 @@ def _pallas_ok(xp, n, dtype=None):
 
 
 # 32-bit-word fused kernels (ops/ntt_pallas32.py): native u32 Shoup
-# butterflies (6 multiplies each — no u32-pair emulation). Chip-measured
-# 2026-08-17 (B=32, L=8, n=16384): fused 1.45 ms fwd / 2.07 inv vs the
-# XLA w32 path's 0.89 / 1.27 — for native u32 words XLA's own lowering
-# is already compute-efficient, and the per-stage interleave shuffles
-# dominate the Mosaic kernel (phase1 0.80 + phase2 0.56 ms). Default
-# OFF; opt in with LATTISENSE_PALLAS32=1 (bit-exact, tests force it).
-_PALLAS32_ENV = os.environ.get('LATTISENSE_PALLAS32', '0')
+# butterflies with the 2D-FOLD stage idiom (see that module's docstring).
+# Chip-measured 2026-08-17 (B=32, L=8, n=16384): fwd 0.68 ms vs XLA 0.76,
+# inv 1.05 vs 1.16 isolated — and END-TO-END the w32 mult_relin improves
+# 1972 -> 1340 us/op (1.47x; no u32-plane split/merge, so the pallas
+# islands' fusion tax does not bite). 'auto' (default) = ON when the
+# backend is a real TPU, off elsewhere (CPU interpret mode is slow);
+# LATTISENSE_PALLAS32=0/1 forces.
+_PALLAS32_ENV = os.environ.get('LATTISENSE_PALLAS32', 'auto')
 
 
 def _pallas32_ok(xp, n, dtype):
-    return (dtype.itemsize == 4 and xp.__name__ != 'numpy' and n >= 256
-            and _PALLAS32_ENV not in ('', '0'))
+    if dtype.itemsize != 4 or xp.__name__ == 'numpy' or n < 256:
+        return False
+    if _PALLAS32_ENV == 'auto':
+        import jax
+        return jax.default_backend() == 'tpu'
+    return _PALLAS32_ENV not in ('', '0')
 
 
 def ntt(xp, x, ring):
