@@ -53,6 +53,14 @@ def _pallas_ok(xp, n, dtype=None):
     return _USE_PALLAS and xp.__name__ != 'numpy' and n >= 256
 
 
+# u64 fold-idiom kernels (ops/ntt_pallas64f.py): bit-exact on chip but
+# LOSE to XLA isolated (fwd 14.8 vs 11.4 us/limb-row, B=32 L=4 n=16384,
+# 2026-08-17) — the 16-bit-digit pair emulation is ~2x the op count of
+# XLA's own u64 lowering, and the fold idiom's Mosaic rate (~1.3 Tops/s
+# here) cannot make that up. Opt-in for experimentation only.
+_USE_PALLAS64F = os.environ.get('LATTISENSE_PALLAS64F', '0') not in ('', '0')
+
+
 # 32-bit-word fused kernels (ops/ntt_pallas32.py): native u32 Shoup
 # butterflies with the 2D-FOLD stage idiom (see that module's docstring).
 # Chip-measured 2026-08-17 (B=32, L=8, n=16384): fwd 0.68 ms vs XLA 0.76,
@@ -93,6 +101,10 @@ def ntt(xp, x, ring):
         if _pallas32_ok(xp, x.shape[-1], x.dtype):
             from ..ops.ntt_pallas32 import ntt_fused32
             return ntt_fused32(x, ring)
+        if (_USE_PALLAS64F and x.dtype.itemsize == 8
+                and xp.__name__ != 'numpy' and x.shape[-1] >= 256):
+            from ..ops.ntt_pallas64f import ntt_fused64
+            return ntt_fused64(x, ring)
     if _pallas_ok(xp, x.shape[-1], x.dtype):
         from ..ops.ntt_pallas import ntt_fused
         return ntt_fused(x, ring)
@@ -208,6 +220,10 @@ def intt(xp, x, ring):
         if _pallas32_ok(xp, x.shape[-1], x.dtype):
             from ..ops.ntt_pallas32 import intt_fused32
             return intt_fused32(x, ring)
+        if (_USE_PALLAS64F and x.dtype.itemsize == 8
+                and xp.__name__ != 'numpy' and x.shape[-1] >= 256):
+            from ..ops.ntt_pallas64f import intt_fused64
+            return intt_fused64(x, ring)
     if _pallas_ok(xp, x.shape[-1], x.dtype) and _USE_PALLAS_INTT:
         from ..ops.ntt_pallas import intt_fused
         return intt_fused(x, ring)

@@ -137,3 +137,42 @@ def test_xla_conjugated_inverse_bitexact():
     ref = core_ntt2.intt(np, x, ring)
     got = np.asarray(core_ntt2._intt_conj(jnp, jnp.asarray(x), ring))
     np.testing.assert_array_equal(got, ref)
+
+
+# ---------------------------------------------------------------------------
+# fold-idiom u64 kernels (ops/ntt_pallas64f.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize('n,batch', [(256, (1,)), (1024, (3,))])
+def test_pallas64f_bit_exact(n, batch):
+    import jax.numpy as jnp
+    from lattisense_tpu.core.modring import gen_ntt_primes, get_rns_ring
+    from lattisense_tpu.core import ntt as ntt_mod
+    from lattisense_tpu.ops.ntt_pallas64f import intt_fused64, ntt_fused64
+    chain = tuple(gen_ntt_primes(n, 55, 3))
+    ring = get_rns_ring(chain, n)
+    rng = np.random.default_rng(9)
+    x = np.stack([[rng.integers(0, qi, n, dtype=np.uint64) for qi in chain]
+                  for _ in range(int(np.prod(batch)))]).reshape(*batch, 3, n)
+    want = ntt_mod.ntt(np, x, ring)
+    got = np.asarray(ntt_fused64(jnp.asarray(x), ring))
+    assert np.array_equal(got, want)
+    back = np.asarray(intt_fused64(jnp.asarray(want), ring))
+    assert np.array_equal(back, x)
+
+
+def test_pallas64f_vmap_collapses():
+    import jax
+    import jax.numpy as jnp
+    from lattisense_tpu.core.modring import gen_ntt_primes, get_rns_ring
+    from lattisense_tpu.core import ntt as ntt_mod
+    from lattisense_tpu.ops.ntt_pallas64f import ntt_fused64
+    n = 256
+    chain = tuple(gen_ntt_primes(n, 55, 2))
+    ring = get_rns_ring(chain, n)
+    rng = np.random.default_rng(10)
+    x = np.stack([[rng.integers(0, qi, n, dtype=np.uint64) for qi in chain]
+                  for _ in range(4)])
+    want = ntt_mod.ntt(np, x, ring)
+    got = np.asarray(jax.vmap(lambda v: ntt_fused64(v, ring))(jnp.asarray(x)))
+    assert np.array_equal(got, want)
