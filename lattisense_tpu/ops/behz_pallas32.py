@@ -1,0 +1,587 @@
+"""BEHZ phase megakernels for the 32-bit-word engine (Pallas/Mosaic).
+
+K1 "prep" (this round): for each polynomial, ONE kernel computes the whole
+BEHZ multiply front half with zero mid-phase materialization —
+
+    x·m̃ (Montgomery) → digit decompose → FastBConv to B∪{m_sk} →
+    SmMRq overflow removal → NTT of BOTH bases' rows (L+T rows, per-row
+    primes, fold-idiom stages) → to-Montgomery
+
+— replacing `bz.extend` + two XLA NTT calls + `to_mont` in
+schemes/bfv.py `BfvEngine.mult` (the measured w32 phase costs: extend
+375 + ntt_Q 221 + ntt_aux 340 us/op). All rows of one polynomial
+(L+T ≈ 19 × n) stay resident in VMEM; the only HBM traffic is one read
+of x and one write of (fq, fa).
+
+This is the round-1 roadmap's K1 megakernel (NOTES.md), realized with
+the 2D-fold stage idiom (see ops/ntt_pallas32.py docstring for the
+chip-measured idiom rule). Semantics are bit-identical to the XLA path:
+core/rns.py ExactExtend (reference BEHZ pipeline — the Lattigo
+bfv evaluator's multiplication front half) and core/ntt.py.
+"""
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ntt_pallas32 import (_addmod32, _mulhi32, _shoup32, _submod32,
+                           _stage_plan)
+from ..core.rns import _mont, _pinv, _shoup
+from ..params import MTILDE
+
+LANES = 128
+
+
+def _redc32(hi, lo, q, pinv):
+    m = lo * pinv
+    t = hi + _mulhi32(m, q) + (lo != 0).astype(jnp.uint32)
+    return jnp.where(t >= q, t - q, t)
+
+
+def _mont32(a, b, q, pinv):
+    return _redc32(_mulhi32(a, b), a * b, q, pinv)
+
+
+# ---------------------------------------------------------------------------
+# K1 kernel
+# ---------------------------------------------------------------------------
+
+def _k1_kernel(logn, L, T, nstages,
+               src_ref, dst_ref, conv_ref, row_ref, x_ref, *refs):
+    """One polynomial per grid step.
+
+    src_ref  (6, L, 1): q, mtilde(+shoup), qhat_inv(+shoup), qhat_mtilde
+    dst_ref  (6, T, 1): q, q_mod(+shoup), mtilde_inv(+shoup),
+                        neg_qinv_mtilde
+    conv_ref (2L, T, 1): [Q/q_i]_{d_t} values then Shoup companions
+    row_ref  (3, R, 1): per-NTT-row q, R_mod_q(+shoup)  (R = L + T)
+    refs: (w, ws) per stage, then out_fq (1, L, n), out_fa (1, T, n).
+    """
+    n = 1 << logn
+    sub = n // LANES
+    R = L + T
+    x = x_ref[0]                                     # (L, n)
+    q_s = src_ref[0]
+    mtv_s = src_ref[1]
+    mts_s = src_ref[2]
+    qhi_s = src_ref[3]
+    qhis_s = src_ref[4]
+    qmt_s = src_ref[5]
+    dq = dst_ref[0]
+    qm_v = dst_ref[1]
+    qm_s = dst_ref[2]
+    mti_v = dst_ref[3]
+    mti_s = dst_ref[4]
+    negqinv = dst_ref[5][0:1]                        # (1, 1)
+
+    # x·m̃ then digit decomposition (all (L, n)); every constant multiply
+    # is Shoup (value, companion) — same exact product as the XLA path's
+    # Montgomery form, ~16 vector ops instead of ~35
+    xm = _shoup32(x, mtv_s, mts_s, q_s)
+    y = _shoup32(xm, qhi_s, qhis_s, q_s)
+
+    # FastBConv: ext[t] = Σ_i y_i · [Q/q_i]_{d_t}  (L sequential (T, n) MACs)
+    ext = _shoup32(y[0:1], conv_ref[0], conv_ref[L], dq)
+    for i in range(1, L):
+        ext = _addmod32(ext, _shoup32(y[i:i + 1], conv_ref[i],
+                                      conv_ref[L + i], dq), dq)
+
+    # m̃ channel (u32 wrap is exact mod m̃ since m̃ | 2^32); summed with an
+    # explicit u32 add chain — jnp.sum would promote to u64 (Mosaic traps)
+    mask = jnp.uint32(MTILDE - 1)
+    prod = (y & mask) * qmt_s                                      # (L, n)
+    emt = prod[0:1]
+    for i in range(1, L):
+        emt = emt + prod[i:i + 1]
+    emt = emt & mask                                               # (1, n)
+
+    # SmMRq: remove the α·Q overflow
+    r = (emt * negqinv) & mask
+    big = r >= jnp.uint32(MTILDE // 2)
+    r_mod = jnp.where(big, dq - (jnp.uint32(MTILDE) - r), r)       # (T, n)
+    term = _shoup32(r_mod, qm_v, qm_s, dq)
+    s = _addmod32(ext, term, dq)
+    ext2 = _shoup32(s, mti_v, mti_s, dq)
+
+    # fold-idiom forward NTT over all R rows (per-row primes)
+    v = jnp.concatenate([x, ext2], axis=0)           # (R, n)
+    rowq = row_ref[0]                                # (R, 1)
+    si = 0
+    m = 1
+    t = n
+    q3 = rowq[:, :, None]                            # (R, 1, 1)
+    while t > LANES:
+        t //= 2
+        w = refs[2 * si][...]
+        ws = refs[2 * si + 1][...]
+        p = v.reshape(R, m, 2 * t)
+        u = p[..., :t]
+        b = _shoup32(p[..., t:], w, ws, q3)
+        v = jnp.concatenate([_addmod32(u, b, q3), _submod32(u, b, q3)],
+                            axis=-1).reshape(R, n)
+        m *= 2
+        si += 1
+    v = v.reshape(R, sub, LANES).swapaxes(1, 2)
+    tb = LANES
+    while tb > 1:
+        tb //= 2
+        mb = LANES // (2 * tb)
+        w = refs[2 * si][...]
+        ws = refs[2 * si + 1][...]
+        p = v.reshape(R, mb, 2 * tb * sub)
+        u = p[..., :tb * sub]
+        b = _shoup32(p[..., tb * sub:], w, ws, q3)
+        v = jnp.concatenate([_addmod32(u, b, q3), _submod32(u, b, q3)],
+                            axis=-1)
+        si += 1
+    v = v.reshape(R, LANES, sub).swapaxes(1, 2).reshape(R, n)
+
+    # to-Montgomery: x·R = shoup by (R mod q)
+    v = _shoup32(v, row_ref[1], row_ref[2], rowq)
+
+    refs[-2][0] = v[:L]
+    refs[-1][0] = v[L:]
+
+
+# ---------------------------------------------------------------------------
+# host-side constants
+# ---------------------------------------------------------------------------
+
+_BZ_STASH: dict = {}
+
+
+def _bz_key(bz):
+    key = (tuple(bz.ring_q.moduli), tuple(bz.ring_aux.moduli), bz.ring_q.n)
+    _BZ_STASH[key] = (bz,)
+    return key
+
+
+def _expand_rows(tbl, logn, sub):
+    """Per-stage (R, m, width) expansions of a stacked (R, n) u32 table."""
+    n = 1 << logn
+    out = []
+    for m, t, transposed in _stage_plan(logn):
+        m_orig = n // (2 * t)
+        if not transposed:
+            idx = np.broadcast_to((m_orig + np.arange(m))[:, None], (m, t))
+        else:
+            blk = LANES // (2 * t)
+            g = np.arange(m)[:, None, None]
+            a = np.arange(sub)[None, None, :]
+            idx = np.broadcast_to(m_orig + a * blk + g,
+                                  (m, t, sub)).reshape(m, t * sub)
+        out.append(np.ascontiguousarray(tbl[:, idx]))
+    return out
+
+
+def _sh32(v, q):
+    return (int(v) << 32) // int(q)
+
+
+def _shoup_cols(vals, mods):
+    """(values, companions) u32 columns for per-limb Shoup constants."""
+    v = [int(x) % int(m) for x, m in zip(vals, mods)]
+    s = [_sh32(x, m) for x, m in zip(v, mods)]
+    return (np.asarray(v, dtype=np.uint32).reshape(-1, 1),
+            np.asarray(s, dtype=np.uint32).reshape(-1, 1))
+
+
+@functools.lru_cache(maxsize=None)
+def _k1_consts(key):
+    bz, = _BZ_STASH[key]
+    rq, ra = bz.ring_q, bz.ring_aux
+    ext = bz.extend
+    conv = ext.conv
+    sm = ext.smmrq
+    n = rq.n
+    logn = n.bit_length() - 1
+    sub = n // LANES
+    L = len(rq.moduli)
+    T = len(ra.moduli)
+    src_m = list(rq.moduli)
+    dst_m = list(ra.moduli)
+    Q = math.prod(src_m)
+
+    def col(*arrs):
+        return np.stack([np.asarray(a, dtype=np.uint32).reshape(-1, 1)
+                         for a in arrs])
+
+    mt_v, mt_s = _shoup_cols([MTILDE] * L, src_m)
+    src_c = np.stack([np.asarray(src_m, np.uint32).reshape(-1, 1),
+                      mt_v, mt_s,
+                      np.asarray(conv.qhat_inv, np.uint32).reshape(-1, 1),
+                      np.asarray(conv.qhat_inv_shoup, np.uint32).reshape(-1, 1),
+                      np.asarray(conv.qhat_mtilde, np.uint32).reshape(-1, 1)])
+    qm_v, qm_s = _shoup_cols([Q] * T, dst_m)
+    mti_v, mti_s = _shoup_cols([pow(MTILDE, -1, d) for d in dst_m], dst_m)
+    dst_c = np.stack([np.asarray(dst_m, np.uint32).reshape(-1, 1),
+                      qm_v, qm_s, mti_v, mti_s,
+                      np.full((T, 1), sm.neg_qinv_mtilde, dtype=np.uint32)])
+    qhat = [Q // qi for qi in src_m]
+    conv_v = np.asarray([[qhat[i] % d for d in dst_m] for i in range(L)],
+                        dtype=np.uint32)
+    conv_s = np.asarray([[_sh32(qhat[i] % d, d) for d in dst_m]
+                         for i in range(L)], dtype=np.uint32)
+    conv_c = np.ascontiguousarray(
+        np.concatenate([conv_v, conv_s])[:, :, None])           # (2L, T, 1)
+
+    row_m = src_m + dst_m
+    r_v, r_s = _shoup_cols([1 << 32] * len(row_m), row_m)
+    row_c = np.stack([np.asarray(row_m, np.uint32).reshape(-1, 1), r_v, r_s])
+
+    tw = np.concatenate([np.asarray(rq.psi_rev, dtype=np.uint32),
+                         np.asarray(ra.psi_rev, dtype=np.uint32)])
+    ts = np.concatenate([np.asarray(rq.psi_rev_shoup, dtype=np.uint32),
+                         np.asarray(ra.psi_rev_shoup, dtype=np.uint32)])
+    stages = list(zip(_expand_rows(tw, logn, sub), _expand_rows(ts, logn, sub)))
+    return (logn, L, T, src_c, dst_c, conv_c, row_c, stages)
+
+
+# ---------------------------------------------------------------------------
+# launcher + entry
+# ---------------------------------------------------------------------------
+
+def _im(*vals):
+    return tuple(jnp.int32(v) for v in vals)
+
+
+_CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024,
+                                dimension_semantics=('arbitrary',))
+
+
+def _k1_impl(x, key):
+    logn, L, T, src_c, dst_c, conv_c, row_c, stages = _k1_consts(key)
+    n = 1 << logn
+    R = L + T
+    shape = x.shape
+    G = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    xg = x.reshape(G, L, n)
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda g: _im(*([0] * a.ndim)),
+                            memory_space=pltpu.VMEM)
+
+    tab_specs = []
+    tab_args = []
+    for w, ws in stages:
+        spec = pl.BlockSpec((R,) + w.shape[1:], lambda g: _im(0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        tab_specs += [spec, spec]
+        tab_args += [w, ws]
+
+    xspec = pl.BlockSpec((1, L, n), lambda g: _im(g, 0, 0),
+                         memory_space=pltpu.VMEM)
+    fq_spec = pl.BlockSpec((1, L, n), lambda g: _im(g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    fa_spec = pl.BlockSpec((1, T, n), lambda g: _im(g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    interp = jax.default_backend() == 'cpu'
+    f = pl.pallas_call(
+        functools.partial(_k1_kernel, logn, L, T, len(stages)),
+        interpret=interp,
+        compiler_params=_CPARAMS,
+        grid=(G,),
+        in_specs=[full(src_c), full(dst_c), full(conv_c), full(row_c),
+                  xspec] + tab_specs,
+        out_specs=(fq_spec, fa_spec),
+        out_shape=(jax.ShapeDtypeStruct((G, L, n), jnp.uint32),
+                   jax.ShapeDtypeStruct((G, T, n), jnp.uint32)),
+    )
+    fq, fa = f(src_c, dst_c, conv_c, row_c, xg, *tab_args)
+    lead = shape[:-2]
+    return fq.reshape(*lead, L, n), fa.reshape(*lead, T, n)
+
+
+_VMAP_CACHE: dict = {}
+
+
+def behz_prep32(x, bz):
+    """Fused BEHZ prep for (..., L, n) u32 coeff-domain polys: returns
+    (fq, fa) = (to_mont(ntt(x, ring_q)), to_mont(ntt(extend(x), ring_aux)))
+    bit-identical to the XLA composition in BfvEngine.mult."""
+    key = _bz_key(bz)
+    f = _VMAP_CACHE.get(key)
+    if f is None:
+        @jax.custom_batching.custom_vmap
+        def f(xx):
+            return _k1_impl(xx, key)
+
+        @f.def_vmap
+        def _rule(axis_size, in_batched, xb):
+            fq, fa = _k1_impl(xb, key)
+            return (fq, fa), (True, True)
+
+        _VMAP_CACHE[key] = f
+    return f(x)
+
+
+# ---------------------------------------------------------------------------
+# K3 "finish": from-Montgomery → dual INTT → t/Q scale → Shenoy back-convert
+# ---------------------------------------------------------------------------
+
+def _from_mont32(a, q, pinv):
+    m = a * pinv
+    t = _mulhi32(m, q) + (a != 0).astype(jnp.uint32)
+    return jnp.where(t >= q, t - q, t)
+
+
+def _k3_kernel(logn, L, T, nstages,
+               qa_ref, aux_ref, conv1_ref, shen_ref, conv2_ref, sc_ref,
+               row_ref, dq_ref, da_ref, *refs):
+    """One output polynomial per grid step.
+
+    qa_ref   (8, L, 1): q, pinv, t(+shoup), qhat_inv(+shoup), B_mod(+shoup)
+    aux_ref  (6, T, 1): q, pinv, t(+shoup), Qinv(+shoup)
+    conv1_ref (2L, T, 1): conv_q_to_aux values then Shoup companions
+    shen_ref (2, Tb, 1): shenoy qhat_inv, qhat_inv_shoup   (Tb = T - 1)
+    conv2_ref (2Tb, L+1, 1): shenoy values then Shoup companions
+    sc_ref   (5, 1, 1): m_sk, sk_pinv, binv_sk(+shoup), m_sk//2
+    row_ref  (4, R, 1): per-INTT-row q, pinv, n_inv, n_inv_shoup
+    refs: (w, ws) per inverse stage, then out (1, L, n).
+    """
+    n = 1 << logn
+    sub = n // LANES
+    R = L + T
+    Tb = T - 1
+    qq = qa_ref[0]
+    qpinv = qa_ref[1]
+    qaux = aux_ref[0]
+    auxpinv = aux_ref[1]
+    rowq = row_ref[0]
+
+    v = jnp.concatenate([dq_ref[0], da_ref[0]], axis=0)     # (R, n) ntt+mont
+    v = _from_mont32(v, rowq, row_ref[1])
+
+    # fold-idiom inverse NTT (plain GS, ascending distances, per-row primes)
+    q3 = rowq[:, :, None]
+    si = 0
+    tb = 1
+    v = v.reshape(R, sub, LANES).swapaxes(1, 2)
+    while tb < LANES:
+        mb = LANES // (2 * tb)
+        w = refs[2 * si][...]
+        ws = refs[2 * si + 1][...]
+        p = v.reshape(R, mb, 2 * tb * sub)
+        u = p[..., :tb * sub]
+        b = p[..., tb * sub:]
+        s = _addmod32(u, b, q3)
+        d = _shoup32(_submod32(u, b, q3), w, ws, q3)
+        v = jnp.concatenate([s, d], axis=-1)
+        si += 1
+        tb *= 2
+    v = v.reshape(R, LANES, sub).swapaxes(1, 2).reshape(R, n)
+    t = LANES
+    while t < n:
+        m = n // (2 * t)
+        w = refs[2 * si][...]
+        ws = refs[2 * si + 1][...]
+        p = v.reshape(R, m, 2 * t)
+        u = p[..., :t]
+        b = p[..., t:]
+        s = _addmod32(u, b, q3)
+        d = _shoup32(_submod32(u, b, q3), w, ws, q3)
+        v = jnp.concatenate([s, d], axis=-1).reshape(R, n)
+        si += 1
+        t *= 2
+    v = _shoup32(v, row_ref[2], row_ref[3], rowq)           # n^-1
+
+    dq_c = v[:L]
+    da_c = v[L:]
+
+    # [t·X]_Q, convert to aux, floor(tX/Q) - α'  (Shoup constant multiplies)
+    u = _shoup32(dq_c, qa_ref[2], qa_ref[3], qq)
+    y1 = _shoup32(u, qa_ref[4], qa_ref[5], qq)
+    vA = _shoup32(y1[0:1], conv1_ref[0], conv1_ref[L], qaux)
+    for i in range(1, L):
+        vA = _addmod32(vA, _shoup32(y1[i:i + 1], conv1_ref[i],
+                                    conv1_ref[L + i], qaux), qaux)
+    td = _shoup32(da_c, aux_ref[2], aux_ref[3], qaux)
+    w_ = _shoup32(_submod32(td, vA, qaux), aux_ref[4], aux_ref[5], qaux)
+
+    # Shenoy exact B → Q via the redundant m_sk channel
+    wb = w_[:Tb]
+    wsk = w_[Tb:Tb + 1]                                     # (1, n)
+    qb = qaux[:Tb]
+    y2 = _shoup32(wb, shen_ref[0], shen_ref[1], qb)
+    # combined dst rows: L q-primes then m_sk
+    d2q = jnp.concatenate([qq, sc_ref[0]], axis=0)          # (L+1, 1)
+    full = _shoup32(y2[0:1], conv2_ref[0], conv2_ref[Tb], d2q)
+    for i in range(1, Tb):
+        full = _addmod32(full, _shoup32(y2[i:i + 1], conv2_ref[i],
+                                        conv2_ref[Tb + i], d2q), d2q)
+    conv_q = full[:L]
+    conv_sk = full[L:L + 1]
+    m_sk = sc_ref[0][0:1]                                   # (1, 1)
+    diff = _submod32(conv_sk, wsk, m_sk)
+    alpha = _shoup32(diff, sc_ref[2][0:1], sc_ref[3][0:1], m_sk)
+    big = alpha >= sc_ref[4][0:1]
+    alpha_mod = jnp.where(big, qq - (m_sk - alpha), alpha)  # (L, n)
+    corr = _shoup32(alpha_mod, qa_ref[6], qa_ref[7], qq)
+    refs[-1][0] = _submod32(conv_q, corr, qq)
+
+
+@functools.lru_cache(maxsize=None)
+def _k3_consts(key):
+    from .ntt_pallas32 import _inv_stage_plan
+    bz, = _BZ_STASH[key]
+    rq, ra = bz.ring_q, bz.ring_aux
+    n = rq.n
+    logn = n.bit_length() - 1
+    sub = n // LANES
+    L = len(rq.moduli)
+    T = len(ra.moduli)
+    Tb = T - 1
+    cq = bz.conv_q_to_aux
+    sh = bz.shenoy
+
+    def col(*arrs):
+        return np.stack([np.asarray(a, dtype=np.uint32).reshape(-1, 1)
+                         for a in arrs])
+
+    src_m = list(rq.moduli)
+    aux_m = list(ra.moduli)
+    b_m = aux_m[:Tb]
+    m_sk = aux_m[Tb]
+    from math import prod
+    Qq = prod(src_m)
+    Bb = prod(b_m)
+    t_rec = int(bz.t)
+    tv_q, ts_q = _shoup_cols([t_rec] * L, src_m)
+    qa_c = np.stack([np.asarray(src_m, np.uint32).reshape(-1, 1),
+                     np.asarray(rq.pinv, np.uint32).reshape(-1, 1),
+                     tv_q, ts_q,
+                     np.asarray(cq.qhat_inv, np.uint32).reshape(-1, 1),
+                     np.asarray(cq.qhat_inv_shoup, np.uint32).reshape(-1, 1),
+                     *_shoup_cols([Bb] * L, src_m)])         # (8, L, 1)
+    tv_a, ts_a = _shoup_cols([t_rec] * T, aux_m)
+    qi_v, qi_s = _shoup_cols([pow(Qq % d, -1, d) for d in aux_m], aux_m)
+    aux_c = np.stack([np.asarray(aux_m, np.uint32).reshape(-1, 1),
+                      np.asarray(ra.pinv, np.uint32).reshape(-1, 1),
+                      tv_a, ts_a, qi_v, qi_s])               # (6, T, 1)
+    qhat1 = [Qq // qi for qi in src_m]
+    conv1_v = np.asarray([[qhat1[i] % d for d in aux_m] for i in range(L)],
+                         dtype=np.uint32)
+    conv1_s = np.asarray([[_sh32(qhat1[i] % d, d) for d in aux_m]
+                          for i in range(L)], dtype=np.uint32)
+    conv1_c = np.ascontiguousarray(
+        np.concatenate([conv1_v, conv1_s])[:, :, None])      # (2L, T, 1)
+    shen_c = col(sh.conv.qhat_inv, sh.conv.qhat_inv_shoup)   # (2, Tb, 1)
+    d2_m = src_m + [m_sk]
+    qhat2 = [Bb // bi for bi in b_m]
+    conv2_v = np.asarray([[qhat2[i] % d for d in d2_m] for i in range(Tb)],
+                         dtype=np.uint32)
+    conv2_s = np.asarray([[_sh32(qhat2[i] % d, d) for d in d2_m]
+                          for i in range(Tb)], dtype=np.uint32)
+    conv2_c = np.ascontiguousarray(
+        np.concatenate([conv2_v, conv2_s])[:, :, None])      # (2Tb, L+1, 1)
+    binv = pow(Bb % m_sk, -1, m_sk)
+    sc_c = np.asarray([m_sk, int(np.uint32(np.asarray(sh.sk_pinv))),
+                       binv, _sh32(binv, m_sk),
+                       m_sk >> 1],
+                      dtype=np.uint32).reshape(5, 1, 1)
+
+    row_q = np.concatenate([np.asarray(rq.q).reshape(-1),
+                            np.asarray(ra.q).reshape(-1)]).astype(np.uint32)
+    row_pinv = np.concatenate([np.asarray(rq.pinv).reshape(-1),
+                               np.asarray(ra.pinv).reshape(-1)]).astype(np.uint32)
+    row_ni = np.concatenate([np.asarray(rq.n_inv).reshape(-1),
+                             np.asarray(ra.n_inv).reshape(-1)]).astype(np.uint32)
+    row_ns = np.concatenate([np.asarray(rq.n_inv_shoup).reshape(-1),
+                             np.asarray(ra.n_inv_shoup).reshape(-1)]).astype(np.uint32)
+    row_c = np.stack([a.reshape(-1, 1)
+                      for a in (row_q, row_pinv, row_ni, row_ns)])  # (4, R, 1)
+
+    tw = np.concatenate([np.asarray(rq.psi_inv_rev, dtype=np.uint32),
+                         np.asarray(ra.psi_inv_rev, dtype=np.uint32)])
+    ts = np.concatenate([np.asarray(rq.psi_inv_rev_shoup, dtype=np.uint32),
+                         np.asarray(ra.psi_inv_rev_shoup, dtype=np.uint32)])
+
+    def expand_inv(tbl):
+        out = []
+        for m, t, transposed in _inv_stage_plan(logn):
+            m_orig = n // (2 * t)
+            if not transposed:
+                idx = np.broadcast_to((m_orig + np.arange(m))[:, None], (m, t))
+            else:
+                blk = LANES // (2 * t)
+                g = np.arange(m)[:, None, None]
+                a = np.arange(sub)[None, None, :]
+                idx = np.broadcast_to(m_orig + a * blk + g,
+                                      (m, t, sub)).reshape(m, t * sub)
+            out.append(np.ascontiguousarray(tbl[:, idx]))
+        return out
+
+    stages = list(zip(expand_inv(tw), expand_inv(ts)))
+    return (logn, L, T, qa_c, aux_c, conv1_c, shen_c, conv2_c, sc_c, row_c,
+            stages)
+
+
+def _k3_impl(dq, da, key):
+    (logn, L, T, qa_c, aux_c, conv1_c, shen_c, conv2_c, sc_c, row_c,
+     stages) = _k3_consts(key)
+    n = 1 << logn
+    R = L + T
+    shape = dq.shape
+    G = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
+    dqg = dq.reshape(G, L, n)
+    dag = da.reshape(G, T, n)
+
+    def full(a):
+        return pl.BlockSpec(a.shape, lambda g: _im(*([0] * a.ndim)),
+                            memory_space=pltpu.VMEM)
+
+    tab_specs = []
+    tab_args = []
+    for w, ws in stages:
+        spec = pl.BlockSpec((R,) + w.shape[1:], lambda g: _im(0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        tab_specs += [spec, spec]
+        tab_args += [w, ws]
+
+    dq_spec = pl.BlockSpec((1, L, n), lambda g: _im(g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    da_spec = pl.BlockSpec((1, T, n), lambda g: _im(g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    interp = jax.default_backend() == 'cpu'
+    f = pl.pallas_call(
+        functools.partial(_k3_kernel, logn, L, T, len(stages)),
+        interpret=interp,
+        compiler_params=_CPARAMS,
+        grid=(G,),
+        in_specs=[full(qa_c), full(aux_c), full(conv1_c), full(shen_c),
+                  full(conv2_c), full(sc_c), full(row_c), dq_spec,
+                  da_spec] + tab_specs,
+        out_specs=dq_spec,
+        out_shape=jax.ShapeDtypeStruct((G, L, n), jnp.uint32),
+    )
+    out = f(qa_c, aux_c, conv1_c, shen_c, conv2_c, sc_c, row_c, dqg, dag,
+            *tab_args)
+    return out.reshape(*shape[:-2], L, n)
+
+
+_VMAP_CACHE_K3: dict = {}
+
+
+def behz_finish32(dq, da, bz):
+    """Fused BEHZ finish for NTT+Montgomery tensor rows: returns
+    scale_and_back(intt(from_mont(dq)), intt(from_mont(da))) —
+    bit-identical to the XLA composition in BfvEngine.mult."""
+    key = _bz_key(bz)
+    f = _VMAP_CACHE_K3.get(key)
+    if f is None:
+        @jax.custom_batching.custom_vmap
+        def f(a, b):
+            return _k3_impl(a, b, key)
+
+        @f.def_vmap
+        def _rule(axis_size, in_batched, ab, bb):
+            return _k3_impl(ab, bb, key), True
+
+        _VMAP_CACHE_K3[key] = f
+    return f(dq, da)

@@ -225,3 +225,74 @@ def test_pallas32_dispatch_gate(monkeypatch):
     back = np.asarray(ntt_mod.intt(jnp, jnp.asarray(got), ring))
     assert np.array_equal(got, want)
     assert np.array_equal(back, x)
+
+
+def test_behz_prep32_bit_exact():
+    from lattisense_tpu.core import u64 as _uu
+    from lattisense_tpu.ops.behz_pallas32 import behz_prep32
+    n = 256
+    chain = tuple(gen_ntt_primes(n, 31, 6))
+    q, p = list(chain[:3]), [chain[3]]
+    params = BfvParams.create_custom(n, 257, q, p, word_bits=32)
+    ctx = BfvContext.create_random_context(params, seed=13)
+    eng = ctx.engine
+    bz = eng.behz(2)
+    ring, ra = bz.ring_q, bz.ring_aux
+    rng = np.random.default_rng(4)
+    polys = np.stack([[rng.integers(0, qi, n, dtype=np.uint64).astype(np.uint32)
+                       for qi in ring.moduli] for _ in range(4)])
+    ext = bz.extend(np, polys)
+    want_fq = _uu.to_mont(np, ntt_mod.ntt(np, polys, ring), ring.q, ring.pinv, ring.r2)
+    want_fa = _uu.to_mont(np, ntt_mod.ntt(np, ext, ra), ra.q, ra.pinv, ra.r2)
+    fq, fa = behz_prep32(jnp.asarray(polys), bz)
+    assert np.array_equal(np.asarray(fq), want_fq)
+    assert np.array_equal(np.asarray(fa), want_fa)
+    # vmap-collapsed (the batched-step path)
+    import jax
+    pb = jnp.asarray(np.stack([polys, polys]))
+    fq2, fa2 = jax.vmap(lambda v: behz_prep32(v, bz))(pb)
+    assert np.array_equal(np.asarray(fq2[1]), want_fq)
+
+
+def test_behz_finish32_bit_exact():
+    from lattisense_tpu.core import u64 as _uu
+    from lattisense_tpu.ops.behz_pallas32 import behz_finish32
+    n = 256
+    chain = tuple(gen_ntt_primes(n, 31, 6))
+    q, p = list(chain[:3]), [chain[3]]
+    params = BfvParams.create_custom(n, 257, q, p, word_bits=32)
+    ctx = BfvContext.create_random_context(params, seed=14)
+    eng = ctx.engine
+    bz = eng.behz(2)
+    ring, ra = bz.ring_q, bz.ring_aux
+    rng = np.random.default_rng(6)
+    dq = np.stack([[rng.integers(0, qi, n, dtype=np.uint64).astype(np.uint32)
+                    for qi in ring.moduli] for _ in range(3)])
+    da = np.stack([[rng.integers(0, qi, n, dtype=np.uint64).astype(np.uint32)
+                    for qi in ra.moduli] for _ in range(3)])
+    dq_i = ntt_mod.intt(np, _uu.from_mont(np, dq, ring.q, ring.pinv), ring)
+    da_i = ntt_mod.intt(np, _uu.from_mont(np, da, ra.q, ra.pinv), ra)
+    want = bz.scale_and_back(np, dq_i, da_i)
+    got = np.asarray(behz_finish32(jnp.asarray(dq), jnp.asarray(da), bz))
+    assert np.array_equal(got, want)
+
+
+def test_mult_relin_gated_kernels_bit_exact(monkeypatch, ctx_pair):
+    """eng.mult with the K1+K3 gates forced on (interpret) must match the
+    ungated XLA path bitwise."""
+    c32, _ = ctx_pair
+    monkeypatch.setattr(ntt_mod, '_PALLAS32_ENV', '0')
+    msg_a = np.arange(N, dtype=np.int64) % 257
+    msg_b = (np.arange(N, dtype=np.int64) * 9 + 1) % 257
+    ea = c32.encrypt(c32.encode(msg_a, 3))
+    eb = c32.encrypt(c32.encode(msg_b, 3))
+    eng = c32.engine
+    import jax
+    want = np.asarray(jax.jit(lambda x, y: eng.mult(jnp, 
+        __import__('lattisense_tpu.schemes.types', fromlist=['Ciphertext']).Ciphertext(data=x, level=3),
+        __import__('lattisense_tpu.schemes.types', fromlist=['Ciphertext']).Ciphertext(data=y, level=3)).data)(ea.data, eb.data))
+    monkeypatch.setattr(ntt_mod, '_PALLAS32_ENV', '1')
+    got = np.asarray(jax.jit(lambda x, y: eng.mult(jnp,
+        __import__('lattisense_tpu.schemes.types', fromlist=['Ciphertext']).Ciphertext(data=x, level=3),
+        __import__('lattisense_tpu.schemes.types', fromlist=['Ciphertext']).Ciphertext(data=y, level=3)).data)(ea.data, eb.data))
+    assert np.array_equal(got, want)
