@@ -169,6 +169,39 @@ def test_bootstrap_mixed_chain_regions():
     assert err < 1e-4, f'mixed-chain bootstrap err {err:.2e}'
 
 
+@pytest.mark.skipif(os.environ.get('LATTISENSE_SLOW_TESTS', '') == '',
+                    reason='slow: reference toy profile, precision-tuned; '
+                           'set LATTISENSE_SLOW_TESTS=1')
+def test_bootstrap_toy_profile_tuned_ratio():
+    """The same reference toy profile with message_ratio tuned 256 → 32.
+
+    message_ratio trades message headroom (|v| ≤ q0/(ratio·Δ)) against the
+    noise floor: the pipeline's absolute noise ε·q0 appears in the output
+    as ratio·ε relative to the message (measured: err ≈ ratio·6.6e-7 after
+    the round-2 HPS mod-down fix — 1.7e-4 at the reference's 256, 2.5e-5
+    at 32 — while the sine's cubic term only reaches ~(2π/ratio)²/6 ≈
+    3e-6·m³ at 32). The reference field (btp_eval_mod_message_ratio)
+    remains the default contract; 32 is the precision-tuned profile."""
+    from lattisense_tpu.frontend.custom_task import CkksBtpParam
+    fe = CkksBtpParam.create_toy_param()
+    params = CkksParams.create_custom(fe.n, fe.q, fe.p, slots=fe.slots,
+                                      scale=float(fe.scale))
+    cfg = BootstrapConfig(cts_depth=fe.cts_params.depth(),
+                          stc_depth=fe.stc_params.depth(),
+                          k=20, sine_deg=39,
+                          double_angle=fe.eval_mod_params.double_angle,
+                          em_scale=float(fe.eval_mod_params.scaling_factor),
+                          message_ratio=32.0)
+    ctx = CkksBtpContext.create_random_context(params, seed=77, h=192,
+                                               btp_config=cfg)
+    rng = np.random.default_rng(7)
+    msg = rng.uniform(-1, 1, params.slots)
+    fresh = ctx.bootstrap(ctx.encrypt(ctx.encode(msg, 0)))
+    err = np.max(np.abs(ctx.decrypt_decode(fresh).real - msg))
+    assert fresh.level >= 5
+    assert err < 1e-4, f'tuned toy-profile bootstrap err {err:.2e}'
+
+
 @pytest.mark.skipif(os.environ.get('LATTISENSE_HEAVY_TESTS', '') == '',
                     reason='heavy: full-size n=65536 bootstrap, ~50 min CPU; '
                            'set LATTISENSE_HEAVY_TESTS=1')
