@@ -70,6 +70,20 @@ class RoundDivP:
         self.pinv_mont = _col([_mont(pow(P % q, -1, q), q, b) for q in q_moduli], b)
         self.p_inv_f = (1.0 / np.array(p_moduli, dtype=np.float64)).reshape(
             len(p_moduli), 1)
+        # w32 fixed-point overflow estimate (Mosaic has no float64, and the
+        # Pallas key-switch kernel must match bit-for-bit): Σ_j y_j·c_j
+        # with c_j = floor(2^62/p_j) < 2^31; v = Σ >> 62 exactly unless the
+        # fractional part is < α·2^-31 (unbiased, ~never)
+        self.p_inv_fx = np.array([(1 << 62) // p for p in p_moduli],
+                                 dtype=np.uint64).reshape(len(p_moduli), 1)
+
+    def overflow(self, xp, y):
+        """v = floor(Σ_j y_j/p_j) for decomposed digits y (..., |P|, n)."""
+        if y.dtype.itemsize == 4:
+            acc = (y.astype(xp.uint64) * self.p_inv_fx).sum(axis=-2)
+            return (acc >> xp.uint64(62)).astype(y.dtype)
+        frac = (y.astype(xp.float64) * self.p_inv_f).sum(axis=-2)
+        return xp.floor(frac).astype(y.dtype)
 
     def __call__(self, xp, x_q, x_p):
         """x_q: (..., L, n), x_p: (..., |P|, n) → (..., L, n)."""
@@ -79,10 +93,8 @@ class RoundDivP:
         num = _u.submod(xp, _u.addmod(xp, x_q, self.half_q, self.dst_q), conv, self.dst_q)
         out = _u.mont_mul(xp, num, self.pinv_mont, self.dst_q, self.dst_pinv)
         # overflow correction (see class docstring): Σ_j y_j/p_j = δ + v
-        # with δ = (x mod P)/P ∈ [0, 1), so v = floor(Σ frac). float64
-        # keeps each term exact to 2^-53 (y_j < p_j < 2^62).
-        frac = (y.astype(xp.float64) * self.p_inv_f).sum(axis=-2)
-        v = xp.floor(frac).astype(out.dtype)[..., None, :]
+        # with δ = (x mod P)/P ∈ [0, 1), so v = floor(Σ frac)
+        v = self.overflow(xp, y)[..., None, :]
         return _u.addmod(xp, out, v, self.dst_q)
 
 
@@ -218,5 +230,16 @@ class KeySwitcher:
 
     def switch(self, xp, x, ksk, level: int, output_ntt: bool = False):
         """Full key switch of coeff-domain x (..., L, n) → (e0, e1) over Q_ℓ."""
+        if getattr(x, 'dtype', None) is not None:
+            from ..core import ntt as ntt_mod
+            if (ntt_mod._pallas32_ok(xp, self.n, x.dtype)
+                    and os.environ.get('LATTISENSE_KSW32', '0') not in ('', '0')):
+                # fused single-kernel switch — bit-identical but measured
+                # at PARITY with the default path (relin 280 vs 259 us/op:
+                # the NTT/INTT islands inside the default path are already
+                # the fold-idiom kernels, so the fusion saves little and
+                # the composition tax eats it). Opt-in for experimentation.
+                from ..ops.ksw_pallas32 import ksw_switch32
+                return ksw_switch32(x, ksk, self, level, output_ntt)
         digits = self.decompose_modup_ntt(xp, x, level)
         return self.switch_from_digits(xp, digits, ksk, level, output_ntt)

@@ -296,3 +296,24 @@ def test_mult_relin_gated_kernels_bit_exact(monkeypatch, ctx_pair):
         __import__('lattisense_tpu.schemes.types', fromlist=['Ciphertext']).Ciphertext(data=x, level=3),
         __import__('lattisense_tpu.schemes.types', fromlist=['Ciphertext']).Ciphertext(data=y, level=3)).data)(ea.data, eb.data))
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize('output_ntt', [False, True])
+def test_ksw_switch32_bit_exact(output_ntt):
+    from lattisense_tpu.ops.ksw_pallas32 import ksw_switch32
+    n = 256
+    chain = tuple(gen_ntt_primes(n, 31, 8))
+    q, p = list(chain[:5]), list(chain[5:7])   # alpha=2, ragged last digit
+    params = BfvParams.create_custom(n, 257, q, p, word_bits=32)
+    ctx = BfvContext.create_random_context(params, seed=15)
+    sw = ctx.engine.switcher
+    rng = np.random.default_rng(8)
+    for level in (4, 3, 2):
+        L = level + 1
+        x = np.stack([rng.integers(0, qi, n, dtype=np.uint64).astype(np.uint32)
+                      for qi in q[:L]])
+        want = sw.switch(np, x, ctx.rlk, level, output_ntt=output_ntt)
+        got = ksw_switch32(jnp.asarray(x), ctx.rlk, sw, level,
+                           output_ntt=output_ntt)
+        assert np.array_equal(np.asarray(got[0]), want[0]), level
+        assert np.array_equal(np.asarray(got[1]), want[1]), level
