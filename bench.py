@@ -190,6 +190,38 @@ def main():
     _emit(f'bfv_mult_relin_n16384_logQ{logq_l3}_w32_ops_per_s_per_chip',
           ops_s, 'ops/s', vs('bfv_mult_relin', ops_s))
 
+    # ---- CKKS mult_relin_rescale, TPU-native 31-bit word -------------------
+    # (reference's CKKS FPGA profile analog: 31-bit chain + hardware-word
+    # scale, frontend/custom_task.py:273)
+    if budget_left():
+        _note('device: CKKS mult_relin_rescale w32 (keygen)')
+        cp32 = CkksParams.create_tpu_param(16384)
+        clvl = cp32.max_level
+        cctx32 = CkksContext.create_random_context(cp32, seed=9)
+        msgs = rng.uniform(-1, 1, (2 * batch, cp32.slots))
+        cc = [cctx32.encrypt(cctx32.encode(m, clvl)) for m in msgs]
+        ca = jax.device_put(np.stack([c.data for c in cc[:batch]]))
+        cb = jax.device_put(np.stack([c.data for c in cc[batch:]]))
+        ck32 = jax.device_put(key_tree(cctx32))
+        _note('device: CKKS mult_relin_rescale w32 (compile)')
+        fc32 = make_batched_step(cctx32.engine, ckks_mult_relin_rescale, clvl,
+                                 n_inputs=2)
+        np.asarray(jax.tree.leaves(fc32(ca, cb, ck32))[0].ravel()[:2])
+
+        def chained_c32(k):   # rescale drops a limb: cannot chain on output
+            t0 = time.perf_counter_ns()
+            o = None
+            for _ in range(k):
+                o = fc32(ca, cb, ck32)
+            np.asarray(jax.tree.leaves(o)[0].ravel()[:4])
+            return (time.perf_counter_ns() - t0) / 1e9
+
+        chained_c32(2)
+        t1, t2 = chained_c32(8), chained_c32(16)
+        ops_s = batch / ((t2 - t1) / 8)
+        _emit('ckks_mult_relin_rescale_n16384_w32_ops_per_s_per_chip', ops_s,
+              'ops/s', vs('ckks_mult_relin_rescale', ops_s))
+
 
 if __name__ == '__main__':
     main()

@@ -129,8 +129,9 @@ class CkksParams(FheParams):
     algo = 'CKKS'
 
     def __init__(self, n: int, q: list[int], p: list[int],
-                 slots: int | None = None, scale: float = 0.0):
-        super().__init__(n, q, p)
+                 slots: int | None = None, scale: float = 0.0,
+                 word_bits: int = 64):
+        super().__init__(n, q, p, word_bits)
         self.slots = int(slots) if slots else n // 2
         if self.slots & (self.slots - 1) or not (0 < self.slots <= n // 2):
             raise ValueError(f'slots must be a power of two in (0, n/2], got {slots}')
@@ -143,8 +144,26 @@ class CkksParams(FheParams):
 
     @classmethod
     def create_custom(cls, n: int, q: list[int], p: list[int],
-                      slots: int | None = None, scale: float = 0.0) -> 'CkksParams':
-        return cls(n, q, p, slots, scale)
+                      slots: int | None = None, scale: float = 0.0,
+                      word_bits: int = 64) -> 'CkksParams':
+        return cls(n, q, p, slots, scale, word_bits)
+
+    @classmethod
+    def create_tpu_param(cls, n: int, slots: int | None = None) -> 'CkksParams':
+        """TPU-native CKKS profile: the default chain's logQP budget re-cut
+        into 31-bit NTT primes with word_bits=32 and scale ≈ 2^30 (rescale
+        prime size). Mirrors the reference's CKKS FPGA profile, which pins
+        31-bit q chains and a 2^31 scale for the hardware word
+        (frontend/custom_task.py:273 CkksParam.create_fpga_param)."""
+        from .core.modring import gen_ntt_primes
+        entry = _load_table()['CKKS'][str(n)]
+        log_q = sum(int(x).bit_length() for x in entry['q'])
+        log_p = sum(int(x).bit_length() for x in entry['p'])
+        nq = -(-log_q // 31)
+        npr = max(1, -(-log_p // 31))
+        primes = gen_ntt_primes(n, 31, nq + npr)
+        return cls(n, primes[:nq], primes[nq:],
+                   slots or entry.get('slots'), float(1 << 30), word_bits=32)
 
     def set_log_slots(self, log_slots: int):
         self.slots = 1 << log_slots

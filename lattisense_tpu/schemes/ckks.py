@@ -30,22 +30,25 @@ class CkksEngine:
         self.n = params.n
         self.q = tuple(params.q)
         self.p = tuple(params.p)
-        self.switcher = KeySwitcher(self.q, self.p, self.n)
+        self.word_bits = getattr(params, 'word_bits', 64)
+        from ..core.u64 import word_dtype
+        self.wdt = word_dtype(self.word_bits)
+        self.switcher = KeySwitcher(self.q, self.p, self.n, self.word_bits)
 
     @functools.lru_cache(maxsize=None)
     def ring(self, level: int):
-        return get_rns_ring(self.q[:level + 1], self.n)
+        return get_rns_ring(self.q[:level + 1], self.n, self.word_bits)
 
     @functools.lru_cache(maxsize=None)
     def rescaler(self, level: int) -> DivRoundLast:
-        return DivRoundLast(self.q[:level + 1])
+        return DivRoundLast(self.q[:level + 1], self.word_bits)
 
     # ---- encode / decode (host) ----
     def encode(self, values, level: int, scale: float | None = None) -> Plaintext:
         scale = scale or self.params.scale
         coeffs = ckks_encode_values(values, self.n, self.params.slots, scale)
         ring = self.ring(level)
-        data = np.stack([np.array([c % qi for c in coeffs], dtype=np.uint64)
+        data = np.stack([np.array([c % qi for c in coeffs], dtype=self.wdt)
                          for qi in self.q[:level + 1]])
         return Plaintext(data=ntt_mod.ntt(np, data, ring), level=level,
                          is_ntt=True, scale=scale)
@@ -73,11 +76,13 @@ class CkksEngine:
         level = pt.level
         ring = self.ring(level)
         q_mods = self.q[:level + 1]
-        u_ntt = ntt_mod.ntt(np, lift_signed(sample_ternary(rng, self.n), q_mods), ring)
+        u_ntt = ntt_mod.ntt(np, lift_signed(sample_ternary(rng, self.n), q_mods,
+                                            self.word_bits), ring)
         c = []
         for j in range(2):
             prod = _u.mulmod(np, pk.data[j][:level + 1], u_ntt, ring.q, ring.pinv, ring.r2)
-            e_ntt = ntt_mod.ntt(np, lift_signed(sample_gaussian(rng, self.n), q_mods), ring)
+            e_ntt = ntt_mod.ntt(np, lift_signed(sample_gaussian(rng, self.n),
+                                                q_mods, self.word_bits), ring)
             c.append(_u.addmod(np, prod, e_ntt, ring.q))
         c0 = _u.addmod(np, c[0], pt.data, ring.q)
         return Ciphertext(data=np.stack([c0, c[1]]), level=level, is_ntt=True,
@@ -88,10 +93,11 @@ class CkksEngine:
         level = pt.level
         ring = self.ring(level)
         q_mods = self.q[:level + 1]
-        a_ntt = sample_uniform_rns(rng, q_mods, self.n)
-        s_ntt = sk.ntt_form(tuple(q_mods), self.n)
+        a_ntt = sample_uniform_rns(rng, q_mods, self.n, self.word_bits)
+        s_ntt = sk.ntt_form(tuple(q_mods), self.n, self.word_bits)
         as_ = _u.mulmod(np, a_ntt, s_ntt, ring.q, ring.pinv, ring.r2)
-        e_ntt = ntt_mod.ntt(np, lift_signed(sample_gaussian(rng, self.n), q_mods), ring)
+        e_ntt = ntt_mod.ntt(np, lift_signed(sample_gaussian(rng, self.n),
+                                            q_mods, self.word_bits), ring)
         c0 = _u.addmod(np, _u.negmod(np, _u.addmod(np, as_, e_ntt, ring.q), ring.q),
                        pt.data, ring.q)
         return Ciphertext(data=np.stack([c0, a_ntt]), level=level, is_ntt=True,
@@ -109,10 +115,11 @@ class CkksEngine:
             # 128-bit seed for the seed-expanded c1 (see bfv.py counterpart).
             seed = (rng.seed_128() if hasattr(rng, 'seed_128')
                     else int(rng.integers(0, 1 << 62)))
-        a_ntt = expand_uniform(seed, q_mods, self.n)
-        s_ntt = sk.ntt_form(tuple(q_mods), self.n)
+        a_ntt = expand_uniform(seed, q_mods, self.n).astype(self.wdt)
+        s_ntt = sk.ntt_form(tuple(q_mods), self.n, self.word_bits)
         as_ = _u.mulmod(np, a_ntt, s_ntt, ring.q, ring.pinv, ring.r2)
-        e_ntt = ntt_mod.ntt(np, lift_signed(sample_gaussian(rng, self.n), q_mods), ring)
+        e_ntt = ntt_mod.ntt(np, lift_signed(sample_gaussian(rng, self.n),
+                                            q_mods, self.word_bits), ring)
         c0 = _u.addmod(np, _u.negmod(np, _u.addmod(np, as_, e_ntt, ring.q), ring.q),
                        pt.data, ring.q)
         return CompressedCiphertext(c0=c0, seed=seed, level=level, is_ntt=True,
@@ -120,7 +127,8 @@ class CkksEngine:
 
     def decompress_ciphertext(self, cct) -> Ciphertext:
         from ..utils.serialize import expand_uniform
-        a_ntt = expand_uniform(cct.seed, self.q[:cct.level + 1], self.n)
+        a_ntt = expand_uniform(cct.seed, self.q[:cct.level + 1],
+                               self.n).astype(self.wdt)
         return Ciphertext(data=np.stack([cct.c0, a_ntt]), level=cct.level,
                           is_ntt=True, scale=cct.scale)
 
@@ -129,7 +137,7 @@ class CkksEngine:
         level = ct.level
         ring = self.ring(level)
         q_mods = self.q[:level + 1]
-        s_ntt = sk.ntt_form(tuple(q_mods), self.n)
+        s_ntt = sk.ntt_form(tuple(q_mods), self.n, self.word_bits)
         acc = np.asarray(ct.data[0])
         s_pow = s_ntt
         for k in range(1, ct.data.shape[0]):
@@ -208,7 +216,8 @@ class CkksEngine:
         """Signed single-component coeffs → NTT form over Q_level."""
         ring = self.ring(level)
         c = pt.data
-        pos = c.astype(np.uint64) if xp is np else xp.asarray(c).astype('uint64')
+        pos = (c.astype(self.wdt) if xp is np
+               else xp.asarray(c).astype(self.wdt))
         neg_mask = (c < 0)
         lifted = xp.where(neg_mask[None, :], pos[None, :] + ring.q, pos[None, :])
         lifted = xp.broadcast_to(lifted, (level + 1, self.n))
@@ -327,7 +336,8 @@ class CkksEngine:
         """Multiply by a real scalar, encoded at the default scale."""
         enc = int(round(scalar * self.params.scale))
         ring = self.ring(ct.level)
-        sm = _col([_mont(enc % qi, qi) for qi in self.q[:ct.level + 1]])
+        sm = _col([_mont(enc % qi, qi, self.word_bits)
+                   for qi in self.q[:ct.level + 1]], self.word_bits)
         return Ciphertext(data=_u.mont_mul(xp, ct.data, sm, ring.q, ring.pinv),
                           level=ct.level, is_ntt=True,
                           scale=ct.scale * self.params.scale)

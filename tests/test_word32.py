@@ -317,3 +317,80 @@ def test_ksw_switch32_bit_exact(output_ntt):
                            output_ntt=output_ntt)
         assert np.array_equal(np.asarray(got[0]), want[0]), level
         assert np.array_equal(np.asarray(got[1]), want[1]), level
+
+
+# ---------------------------------------------------------------------------
+# CKKS 32-bit-word profile (reference CKKS FPGA profile analog:
+# CkksParam.create_fpga_param pins 31-bit chains + 2^31 scale)
+# ---------------------------------------------------------------------------
+
+def test_ckks_tpu_param_factory():
+    from lattisense_tpu.params import CkksParams
+    p = CkksParams.create_tpu_param(4096)
+    assert p.word_bits == 32
+    assert all(q < (1 << 31) for q in p.q + p.p)
+    ref = CkksParams.create(4096)
+    assert sum(q.bit_length() for q in p.q) >= sum(q.bit_length() for q in ref.q)
+
+
+@pytest.fixture(scope='module')
+def ckks_w32_ctx():
+    from lattisense_tpu.params import CkksParams
+    from lattisense_tpu.runtime import CkksContext
+    chain = tuple(gen_ntt_primes(N, 31, 7))
+    params = CkksParams.create_custom(N, list(chain[:5]), list(chain[5:]),
+                                      scale=float(1 << 30), word_bits=32)
+    return CkksContext.create_random_context(params, seed=21)
+
+
+def test_ckks_w32_mult_relin_rescale(ckks_w32_ctx):
+    ctx = ckks_w32_ctx
+    lvl = ctx.params.max_level
+    rng = np.random.default_rng(3)
+    msg = rng.uniform(-1, 1, ctx.params.slots)
+    ct = ctx.encrypt(ctx.encode(msg, lvl))
+    assert ct.data.dtype == np.uint32
+    out = ctx.rescale(ctx.mult_relin(ct, ctx.encrypt(ctx.encode(msg, lvl))))
+    err = np.max(np.abs(ctx.decrypt_decode(out).real - msg ** 2))
+    assert err < 1e-3, err
+
+
+def test_ckks_w32_rotate_and_formats(ckks_w32_ctx):
+    ctx = ckks_w32_ctx
+    lvl = ctx.params.max_level
+    ctx.gen_rotation_keys_for_rotations([1, 2])
+    rng = np.random.default_rng(4)
+    msg = rng.uniform(-1, 1, ctx.params.slots)
+    ct = ctx.encrypt(ctx.encode(msg, lvl))
+    r = ctx.rotate_cols(ct, 2)
+    err = np.max(np.abs(ctx.decrypt_decode(r).real - np.roll(msg, -2)))
+    assert err < 1e-3, err
+    for pt in (ctx.encode(msg, lvl), ctx.encode_mul(msg, lvl)):
+        prod = ctx.rescale(ctx.mult(ct, pt))
+        err = np.max(np.abs(ctx.decrypt_decode(prod).real - msg ** 2))
+        assert err < 1e-3, (type(pt), err)
+
+
+def test_ckks_w32_device_bit_exact(ckks_w32_ctx):
+    import jax
+    from lattisense_tpu.schemes.types import Ciphertext
+    ctx = ckks_w32_ctx
+    eng = ctx.engine
+    lvl = ctx.params.max_level
+    rng = np.random.default_rng(5)
+    msg = rng.uniform(-1, 1, ctx.params.slots)
+    a = ctx.encrypt(ctx.encode(msg, lvl))
+    b = ctx.encrypt(ctx.encode(msg, lvl))
+    sc = a.scale
+
+    def step(x, y):
+        ca = Ciphertext(data=x, level=lvl, is_ntt=True, scale=sc)
+        cb = Ciphertext(data=y, level=lvl, is_ntt=True, scale=sc)
+        return eng.rescale(jnp, eng.relinearize(
+            jnp, eng.mult(jnp, ca, cb), ctx.rlk)).data
+
+    host = np.asarray(step.__call__(a.data, b.data)) if False else None
+    dev = np.asarray(jax.jit(step)(a.data, b.data))
+    eager = np.asarray(step(jnp.asarray(a.data), jnp.asarray(b.data)))
+    assert dev.dtype == np.uint32
+    assert np.array_equal(dev, eager)
