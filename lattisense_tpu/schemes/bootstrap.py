@@ -209,6 +209,102 @@ class CkksBootstrapper:
         return eng.add(xp, two, pt)
 
     # ------------------------------------------------------------------
+    def segments(self, caller_scale: float, swk_dts=None, swk_std=None):
+        """The bootstrap as a list of (name, fn) with
+        fn(xp, cts: tuple[Ciphertext, ...], rlk, glk_map) → tuple; folding
+        them in order is bit-identical to ``__call__``. Exists so callers
+        can put jit boundaries between phases — the whole-graph jit of a
+        full-size bootstrap exceeds practical compiler limits (NOTES.md),
+        while each segment compiles on its own."""
+        eng = self.engine
+
+        def s_raise(xp, cts, rlk, glk_map):
+            ct, = cts
+            # level-free integer scale-up to the pipeline's working scale;
+            # c_int adapts to the ACTUAL input scale, the final steer
+            # returns to the caller scale
+            c_int = max(1, int(round(self.scale_eff / ct.scale)))
+            if c_int > 1:
+                from ..core.rns import _col, _mont
+                from ..core import u64 as _u
+                wb = getattr(eng, 'word_bits', 64)
+                ring0 = eng.ring(0)
+                cm = _col([_mont(c_int % qi, qi, wb) for qi in eng.q[:1]], wb)
+                ct = Ciphertext(data=_u.mont_mul(xp, ct.data, cm, ring0.q,
+                                                 ring0.pinv),
+                                level=0, is_ntt=ct.is_ntt,
+                                scale=ct.scale * c_int)
+            ct.scale = self.scale_eff
+            if swk_dts is not None:
+                ct = eng.key_switch(xp, ct, swk_dts)
+            t = self.mod_raise(xp, ct)
+            if swk_std is not None:
+                t = eng.key_switch(xp, t, swk_std)
+            # sparse packing: SubSum projects onto the replicated subspace
+            from .galois import galois_elt_col
+            p = eng.params
+            step = p.slots
+            while step < p.n // 2:
+                elt = galois_elt_col(step, p.n)
+                t = eng.add(xp, t, eng.apply_galois(xp, t, elt, glk_map[elt]))
+                step <<= 1
+            return (t,)
+
+        segs = [('raise', s_raise)]
+
+        # CoeffsToSlots → y in bit-reversed order; the real/imag split is
+        # realized level-free by the two last-group variants + conjugation
+        for i, lt in enumerate(self.cts):
+            def s_cts(xp, cts, rlk, glk_map, lt=lt):
+                t, = cts
+                return (eng.rescale(xp, lt(xp, t, glk_map)),)
+            segs.append((f'cts{i}', s_cts))
+
+        def s_split(xp, cts, rlk, glk_map):
+            t, = cts
+            ta = eng.rescale(xp, self.cts_last_re(xp, t, glk_map))
+            tb = eng.rescale(xp, self.cts_last_im(xp, t, glk_map))
+            ta.scale = tb.scale = self.em_entry_scale
+            t0 = eng.add(xp, ta, self._conj(xp, ta, glk_map))
+            t1 = eng.add(xp, tb, self._conj(xp, tb, glk_map))
+            return (t0, t1)
+        segs.append(('split', s_split))
+
+        for half in range(2):
+            def s_em(xp, cts, rlk, glk_map, half=half):
+                u = cts[half]
+                c = self.evalmod(xp, u, rlk, anchor=self.em_scale)
+                for _ in range(self.cfg.double_angle):
+                    c = self._double_angle(xp, c, rlk)
+                return (cts[0], c) if half == 1 else (c, cts[1])
+            segs.append((f'evalmod{half}', s_em))
+
+        def s_merge(xp, cts, rlk, glk_map):
+            g0, g1 = cts
+            g1i = self._mul_const_complex(xp, g1, 1j)
+            if g0.level > g1i.level:
+                g0 = eng.drop_level(xp, g0, g0.level - g1i.level)
+            g0.scale = g1i.scale
+            return (eng.add(xp, g0, g1i),)
+        segs.append(('merge', s_merge))
+
+        for i, lt in enumerate(self.stc):
+            def s_stc(xp, cts, rlk, glk_map, lt=lt):
+                t, = cts
+                return (eng.rescale(xp, lt(xp, t, glk_map)),)
+            segs.append((f'stc{i}', s_stc))
+
+        def s_steer(xp, cts, rlk, glk_map):
+            t, = cts
+            # land exactly on the caller's scale (reference restores the
+            # input scale, mega_ag_executors_cpu.cpp:460-463)
+            if abs(t.scale - caller_scale) / caller_scale > 1e-9:
+                t = self._mul_const_complex(xp, t, 1.0,
+                                            target_scale=caller_scale)
+            return (t,)
+        segs.append(('steer', s_steer))
+        return segs
+
     def __call__(self, xp, ct: Ciphertext, rlk, glk_map,
                  swk_dts=None, swk_std=None) -> Ciphertext:
         """With swk_dts/swk_std (reference two-secret design): hop onto the
@@ -217,69 +313,8 @@ class CkksBootstrapper:
         eng = self.engine
         if ct.level != 0:
             ct = eng.drop_level(xp, ct, ct.level)
-        caller_scale = ct.scale
-        # level-free integer scale-up to the pipeline's working scale (see
-        # __init__); the final steer returns to the caller scale.
-        # c_int adapts to the ACTUAL input scale (callers may arrive off
-        # the context default); the transform folds are built for
-        # scale_eff exactly, so the frame is forced afterwards — free for
-        # default-scale inputs, <= 0.5/c_int relative error otherwise
-        c_int = max(1, int(round(self.scale_eff / ct.scale)))
-        if c_int > 1:
-            from ..core.rns import _col, _mont
-            ring0 = eng.ring(0)
-            cm = _col([_mont(c_int % qi, qi) for qi in eng.q[:1]])
-            from ..core import u64 as _u
-            ct = Ciphertext(data=_u.mont_mul(xp, ct.data, cm, ring0.q, ring0.pinv),
-                            level=0, is_ntt=ct.is_ntt, scale=ct.scale * c_int)
-        ct.scale = self.scale_eff
-        if swk_dts is not None:
-            ct = eng.key_switch(xp, ct, swk_dts)
-        t = self.mod_raise(xp, ct)
-        if swk_std is not None:
-            t = eng.key_switch(xp, t, swk_std)
-
-        # sparse packing: SubSum projects onto the replicated subspace
-        # (coefficients supported on multiples of R); message scaled by R,
-        # undone in the CoeffsToSlots fold
-        from .galois import galois_elt_col
-        p = eng.params
-        step = p.slots
-        while step < p.n // 2:
-            elt = galois_elt_col(step, p.n)
-            t = eng.add(xp, t, eng.apply_galois(xp, t, elt, glk_map[elt]))
-            step <<= 1
-
-        # CoeffsToSlots → y in bit-reversed order; the real/imag split is
-        # realized level-free by the two last-group variants + conjugation
-        for lt in self.cts:
-            t = eng.rescale(xp, lt(xp, t, glk_map))
-        ta = eng.rescale(xp, self.cts_last_re(xp, t, glk_map))
-        tb = eng.rescale(xp, self.cts_last_im(xp, t, glk_map))
-        ta.scale = tb.scale = self.em_entry_scale
-        t0 = eng.add(xp, ta, self._conj(xp, ta, glk_map))
-        t1 = eng.add(xp, tb, self._conj(xp, tb, glk_map))
-
-        # EvalMod per half + double-angle
-        outs = []
-        for u in (t0, t1):
-            c = self.evalmod(xp, u, rlk, anchor=self.em_scale)
-            for _ in range(self.cfg.double_angle):
-                c = self._double_angle(xp, c, rlk)
-            outs.append(c)
-        g0, g1 = outs
-        g1i = self._mul_const_complex(xp, g1, 1j)
-        if g0.level > g1i.level:
-            g0 = eng.drop_level(xp, g0, g0.level - g1i.level)
-        g0.scale = g1i.scale
-        t = eng.add(xp, g0, g1i)
-
-        # SlotsToCoeffs
-        for lt in self.stc:
-            t = eng.rescale(xp, lt(xp, t, glk_map))
-        # land exactly on the caller's scale (reference restores the input
-        # scale after bootstrap, mega_ag_executors_cpu.cpp:460-463)
-        target = caller_scale
-        if abs(t.scale - target) / target > 1e-9:
-            t = self._mul_const_complex(xp, t, 1.0, target_scale=target)
-        return t
+        cts = (ct,)
+        for _name, fn in self.segments(ct.scale, swk_dts, swk_std):
+            cts = fn(xp, cts, rlk, glk_map)
+        out, = cts
+        return out
