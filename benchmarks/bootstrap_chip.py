@@ -1,0 +1,96 @@
+"""Chunked (per-segment jit) CKKS bootstrap timing on the real chip."""
+import sys, time, numpy as np
+sys.path.insert(0, '/root/repo')
+import jax, jax.numpy as jnp
+jax.config.update('jax_compilation_cache_dir', '/tmp/lattisense_jax_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+from lattisense_tpu.schemes.types import Ciphertext
+from lattisense_tpu.params import CkksParams
+from lattisense_tpu.runtime import CkksBtpContext
+from lattisense_tpu.schemes.bootstrap import BootstrapConfig
+from lattisense_tpu.core.modring import gen_ntt_primes
+
+mode = sys.argv[1] if len(sys.argv) > 1 else 'smoke'
+t0 = time.time()
+if mode == 'smoke':
+    N = 256
+    q0 = gen_ntt_primes(N, 61, 1)
+    qs = gen_ntt_primes(N, 60, 22)
+    p = gen_ntt_primes(N, 61, 3, exclude=tuple(q0))
+    params = CkksParams.create_custom(N, q0 + qs, p[1:], scale=float(1 << 45))
+    cfg = BootstrapConfig(cts_depth=3, stc_depth=3, k=16, sine_deg=30, double_angle=3)
+    ctx = CkksBtpContext.create_random_context(params, seed=7, h=32, btp_config=cfg)
+else:
+    from lattisense_tpu.frontend.custom_task import CkksBtpParam
+    fe = CkksBtpParam.create_toy_param()
+    params = CkksParams.create_custom(fe.n, fe.q, fe.p, slots=fe.slots, scale=float(fe.scale))
+    cfg = BootstrapConfig(cts_depth=fe.cts_params.depth(), stc_depth=fe.stc_params.depth(),
+                          k=20, sine_deg=39, double_angle=fe.eval_mod_params.double_angle,
+                          em_scale=float(fe.eval_mod_params.scaling_factor), message_ratio=256.0)
+    ctx = CkksBtpContext.create_random_context(params, seed=77, h=192, btp_config=cfg)
+print(f'keygen {time.time()-t0:.0f}s', flush=True)
+eng = ctx.engine
+bs = eng.bootstrapper
+p_ = eng.params
+
+rng = np.random.default_rng(0)
+msg = rng.uniform(-1, 1, p_.slots)
+ct0 = ctx.encrypt(ctx.encode(msg, 0))
+segs = bs.segments(ct0.scale, ctx.swk.get('swk_dts'), ctx.swk.get('swk_std'))
+
+# host walk to capture per-segment input metadata (level/scale/is_ntt)
+metas = []
+cts = (Ciphertext(data=np.asarray(ct0.data), level=0, is_ntt=True, scale=ct0.scale),)
+for name, fn in segs:
+    metas.append([(c.level, c.is_ntt, c.scale) for c in cts])
+    cts = fn(np, cts, ctx.rlk, ctx.glk.keys)
+host_out = cts[0]
+host_err = np.max(np.abs(ctx.decrypt_decode(host_out).real - msg))
+print(f'host path err {host_err:.2e}', flush=True)
+
+rlk_d = jax.device_put(ctx.rlk)
+glk_d = jax.device_put(ctx.glk.keys)
+
+jits = []
+for (name, fn), meta in zip(segs, metas):
+    def make(fn, meta):
+        def g(*datas):
+            cts = tuple(Ciphertext(data=d, level=m[0], is_ntt=m[1], scale=m[2])
+                        for d, m in zip(datas, meta))
+            out = fn(jnp, cts, rlk_d, glk_d)
+            return tuple(c.data for c in out)
+        return jax.jit(g)
+    jits.append((name, make(fn, meta)))
+
+# compile + first run, segment by segment
+datas = (jax.device_put(np.asarray(ct0.data)),)
+t_all0 = time.time()
+for name, g in jits:
+    tseg = time.time()
+    datas = g(*datas)
+    np.asarray(datas[0].ravel()[:2])
+    print(f'  {name}: compile+run {time.time()-tseg:.0f}s', flush=True)
+print(f'total compile+first run {time.time()-t_all0:.0f}s', flush=True)
+
+def run_once():
+    ds = (jax.device_put(np.asarray(ct0.data)),)
+    for _, g in jits:
+        ds = g(*ds)
+    np.asarray(ds[0].ravel()[:2])
+    return ds
+
+run_once()
+t0 = time.perf_counter(); run_once(); t1 = time.perf_counter()
+outs = []
+k = 3
+t0 = time.perf_counter()
+for _ in range(k):
+    out = run_once()
+t1 = time.perf_counter()
+ms = (t1 - t0) / k * 1e3
+print(f'bootstrap on chip ({mode}, chunked): {ms:.1f} ms/op', flush=True)
+
+got = np.asarray(out[0])
+fresh = Ciphertext(data=got, level=host_out.level, is_ntt=True, scale=host_out.scale)
+err = np.max(np.abs(ctx.decrypt_decode(fresh).real - msg))
+print(f'device-path precision: {err:.2e}', flush=True)
