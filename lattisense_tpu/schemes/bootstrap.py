@@ -54,6 +54,14 @@ class BootstrapConfig:
                                    # far above the EvalMod noise floor
                                    # (reference btp_eval_mod_message_ratio);
                                    # also caps precision at ~(ratio/2π)²·6
+    arcsine: bool = False          # cancel the sine's cubic term with a
+                                   # deg-3 arcsine correction after EvalMod
+                                   # (2 extra levels; the cubic acts per
+                                   # ring coefficient, so it shows up as an
+                                   # intermodulation floor cubic in message
+                                   # amplitude and ∝ ratio⁻² — measured in
+                                   # NOTES.md; removing it lets low ratios
+                                   # trade headroom for precision)
 
 
 class CkksBootstrapper:
@@ -164,7 +172,9 @@ class CkksBootstrapper:
         recombine + stc)."""
         cfg = self.cfg
         em = (len(self.evalmod.coeffs) - 1).bit_length() + 2
-        return cfg.cts_depth + 1 + em + cfg.double_angle + 1 + cfg.stc_depth
+        arc = 2 if cfg.arcsine else 0
+        return (cfg.cts_depth + 1 + em + cfg.double_angle + arc + 1
+                + cfg.stc_depth)
 
     # ------------------------------------------------------------------
     def mod_raise(self, xp, ct: Ciphertext) -> Ciphertext:
@@ -207,6 +217,23 @@ class CkksBootstrapper:
         two = eng.add(xp, sq, sq)
         pt = eng.encode(np.full(eng.params.slots, -1.0), two.level, two.scale)
         return eng.add(xp, two, pt)
+
+    def _arcsine(self, xp, ct, rlk):
+        """Slots hold v = sin(2πε) after the doublings; return
+        v + v³/6 ≈ arcsin(v) = 2πε (next term 3v⁵/40, ~(2πε)² smaller).
+        Because the sine acts per ring coefficient, its cubic appears as a
+        cross-slot intermodulation floor — cubic in message amplitude and
+        ∝ message_ratio⁻² (measured; the per-slot error shape is NOT m³).
+        Cancelling it costs 2 levels (v², v³) — the v³/6 division is free
+        via the declared-scale dial."""
+        eng = self.engine
+        v2 = eng.rescale(xp, eng.relinearize(xp, eng.mult(xp, ct, ct), rlk))
+        vd = eng.drop_level(xp, ct, 1)
+        v3 = eng.rescale(xp, eng.relinearize(xp, eng.mult(xp, v2, vd), rlk))
+        v3.scale *= 6.0                      # decodes as v³/6
+        base = self._mul_const_complex(xp, eng.drop_level(xp, ct, 1), 1.0,
+                                       target_scale=v3.scale)
+        return eng.add(xp, v3, base)
 
     # ------------------------------------------------------------------
     def segments(self, caller_scale: float, swk_dts=None, swk_std=None):
@@ -276,6 +303,8 @@ class CkksBootstrapper:
                 c = self.evalmod(xp, u, rlk, anchor=self.em_scale)
                 for _ in range(self.cfg.double_angle):
                     c = self._double_angle(xp, c, rlk)
+                if self.cfg.arcsine:
+                    c = self._arcsine(xp, c, rlk)
                 return (cts[0], c) if half == 1 else (c, cts[1])
             segs.append((f'evalmod{half}', s_em))
 
