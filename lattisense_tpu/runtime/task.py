@@ -190,7 +190,8 @@ class FheTaskTpu:
             ins.update(c['inputs'])
             outs.update(c['outputs'])
         return {'inputs': ins, 'outputs': outs,
-                'custom': bool(members[0].get('is_custom'))}
+                'custom': bool(members[0].get('is_custom')),
+                'op': members[0]['type']}
 
     def _bind_group_executor(self, members):
         import jax
@@ -508,16 +509,70 @@ class FheTaskTpu:
     def _segments(self):
         segs, cur = [], []
         for i, meta in enumerate(self.plan_meta):
-            if meta['custom']:
+            if meta['custom'] or meta.get('op') == 'bootstrap':
                 if cur:
                     segs.append(('jit', cur))
                     cur = []
-                segs.append(('custom', [i]))
+                segs.append(('custom' if meta['custom'] else 'btp', [i]))
             else:
                 cur.append(i)
         if cur:
             segs.append(('jit', cur))
         return segs
+
+    # A full-size bootstrap graph exceeds one-shot compiler limits
+    # (NOTES.md: n=256 toy already >10 min whole-graph on the remote
+    # compiler), so partitioned mode lowers each bootstrap node through
+    # Bootstrapper.segments(): one jitted XLA program per phase
+    # (raise / cts_i / split / evalmod / merge / stc_i / steer), with
+    # level/scale metadata propagated by an abstract eval_shape walk —
+    # no host compute between phases, only jit boundaries.
+    def _run_btp_chunked(self, env, key_tree, meta):
+        import jax
+        import jax.numpy as jnp
+        eng = self.engine
+        bs = eng.bootstrapper
+        in_ids = [i for i in meta['inputs'] if i in env]
+        out_id = next(iter(meta['outputs']))
+        ct = env[in_ids[0]]
+        input_scale = getattr(ct, 'scale', self.params.scale)
+        caller_scale = self.params.scale
+        datas = (ct.data,)
+        metas = ((ct.level, ct.is_ntt, caller_scale),)
+        n_seg = len(bs.segments(caller_scale))
+
+        def make(si, metas_in):
+            def g(ds, kt):
+                keys = self._build_keys(kt)
+                swk = keys.get('swk', {})
+                segs = bs.segments(caller_scale, swk.get('swk_dts'),
+                                   swk.get('swk_std'))
+                cc = tuple(Ciphertext(data=d, level=m[0], is_ntt=m[1],
+                                      scale=m[2])
+                           for d, m in zip(ds, metas_in))
+                out = segs[si][1](jnp, cc, keys['rlk'], keys['glk'])
+                g.out_meta = tuple((c.level, c.is_ntt, c.scale)
+                                   for c in out)
+                return tuple(c.data for c in out)
+            return g
+
+        sds = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                           key_tree)
+        for si in range(n_seg):
+            cache_key = ('btp_seg', si, metas,
+                         tuple(d.shape for d in datas))
+            hit = self._jitted.get(cache_key)
+            if hit is None:
+                g = make(si, metas)
+                jax.eval_shape(g, tuple(jax.ShapeDtypeStruct(d.shape, d.dtype)
+                                        for d in datas), sds)
+                hit = (jax.jit(g), g.out_meta)
+                self._jitted[cache_key] = hit
+            fn, metas = hit
+            datas = fn(datas, key_tree)
+        out = Ciphertext(data=datas[0], level=metas[0][0], is_ntt=metas[0][1],
+                         scale=input_scale)
+        env[out_id] = out
 
     def _run_partitioned(self, input_arrays, key_tree, scales, progress=None):
         import jax
@@ -528,7 +583,9 @@ class FheTaskTpu:
         np_keys = None
         done = 0
         for si, (kind, idxs) in enumerate(self._segments()):
-            if kind == 'custom':
+            if kind == 'btp':
+                self._run_btp_chunked(env, key_tree, self.plan_meta[idxs[0]])
+            elif kind == 'custom':
                 step = self.plan[idxs[0]]
                 if np_keys is None:
                     np_keys = self._build_keys(

@@ -84,6 +84,14 @@ def test_bootstrap_task_graph(btp_ctx, tmp_path):
     got = ctx.decrypt_decode(outputs['z']).real
     assert np.max(np.abs(got - msg)) < 5e-3
 
+    # partitioned mode lowers the bootstrap node through per-phase jits
+    # (the full-size compile path, Bootstrapper.segments) — must agree
+    # with the eager run bit-exactly
+    taskp = FheTaskTpu(str(tmp_path), mode='partitioned')
+    outp, _ = taskp.run(ctx, {'x': ct})
+    np.testing.assert_array_equal(np.asarray(outp['z'].data),
+                                  np.asarray(outputs['z'].data))
+
 
 def test_bootstrap_sparse_slots():
     """Sparse packing (slots < n/2): SubSum projection + size-s transforms
