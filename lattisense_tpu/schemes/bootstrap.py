@@ -297,16 +297,32 @@ class CkksBootstrapper:
             return (t0, t1)
         segs.append(('split', s_split))
 
-        for half in range(2):
-            def s_em(xp, cts, rlk, glk_map, half=half):
-                u = cts[half]
-                c = self.evalmod(xp, u, rlk, anchor=self.em_scale)
+        # Both halves run as ONE vmapped program: they share level/scale
+        # metadata (split emits symmetric ta/tb), so stacking them halves
+        # the dominant segment-compile cost (vmap adds a batch dim, not
+        # ops) and batches the chip work. The host (np) path loops — the
+        # math is identical either way, so eager vs jit stays bit-exact.
+        def s_em(xp, cts, rlk, glk_map):
+            def one(data):
+                c = Ciphertext(data=data, level=cts[0].level,
+                               is_ntt=cts[0].is_ntt, scale=cts[0].scale)
+                c = self.evalmod(xp, c, rlk, anchor=self.em_scale)
                 for _ in range(self.cfg.double_angle):
                     c = self._double_angle(xp, c, rlk)
                 if self.cfg.arcsine:
                     c = self._arcsine(xp, c, rlk)
-                return (cts[0], c) if half == 1 else (c, cts[1])
-            segs.append((f'evalmod{half}', s_em))
+                one.meta = (c.level, c.is_ntt, c.scale)
+                return c.data
+            if xp is np:
+                d0, d1 = one(cts[0].data), one(cts[1].data)
+            else:
+                import jax
+                out = jax.vmap(one)(xp.stack([cts[0].data, cts[1].data]))
+                d0, d1 = out[0], out[1]
+            lv, ntt, sc = one.meta
+            return (Ciphertext(data=d0, level=lv, is_ntt=ntt, scale=sc),
+                    Ciphertext(data=d1, level=lv, is_ntt=ntt, scale=sc))
+        segs.append(('evalmod', s_em))
 
         def s_merge(xp, cts, rlk, glk_map):
             g0, g1 = cts
