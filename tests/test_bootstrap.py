@@ -262,3 +262,31 @@ def test_bootstrap_arcsine_cancels_cubic_floor():
     assert errs[True] < 1e-5, f'arcsine floor {errs[True]:.2e}'
     assert errs[True] < errs[False] / 50, (
         f'arcsine should cancel the cubic floor: {errs}')
+
+
+@pytest.mark.skipif(os.environ.get('LATTISENSE_SLOW_TESTS', '') == '',
+                    reason='slow: reference toy profile + arcsine; '
+                           'set LATTISENSE_SLOW_TESTS=1')
+def test_bootstrap_toy_profile_arcsine():
+    """Reference toy profile, arcsine + ratio 8: the cubic intermodulation
+    floor cancelled, the output sits exactly on the noise slope
+    (measured 5.4e-6 at ratio 8, 2.8e-6 at ratio 4 — vs 2.5e-5 for the
+    best non-arcsine tuning). Costs 2 of the remaining levels."""
+    from lattisense_tpu.frontend.custom_task import CkksBtpParam
+    fe = CkksBtpParam.create_toy_param()
+    params = CkksParams.create_custom(fe.n, fe.q, fe.p, slots=fe.slots,
+                                      scale=float(fe.scale))
+    cfg = BootstrapConfig(cts_depth=fe.cts_params.depth(),
+                          stc_depth=fe.stc_params.depth(),
+                          k=20, sine_deg=39,
+                          double_angle=fe.eval_mod_params.double_angle,
+                          em_scale=float(fe.eval_mod_params.scaling_factor),
+                          message_ratio=8.0, arcsine=True)
+    ctx = CkksBtpContext.create_random_context(params, seed=77, h=192,
+                                               btp_config=cfg)
+    rng = np.random.default_rng(3)
+    msg = rng.uniform(-1, 1, params.slots)
+    fresh = ctx.bootstrap(ctx.encrypt(ctx.encode(msg, 0)))
+    err = np.max(np.abs(ctx.decrypt_decode(fresh).real - msg))
+    assert fresh.level >= 2, f'too few levels left ({fresh.level})'
+    assert err < 2e-5, f'arcsine toy-profile bootstrap err {err:.2e}'
