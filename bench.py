@@ -27,6 +27,30 @@ import numpy as np
 _T0 = time.time()
 _BUDGET_S = float(os.environ.get('LATTISENSE_BENCH_BUDGET', '1e9'))
 
+# Hard watchdog: if the device tunnel wedges (backend init or a remote
+# compile hanging indefinitely — observed failure mode of the single-chip
+# tunnel under client contention), die loudly instead of stalling the
+# driver forever. Scenarios already emitted (host baselines print first,
+# device-free) remain on stdout. 0 disables.
+_ALARM_S = int(float(os.environ.get('LATTISENSE_BENCH_ALARM', '3300')))
+if _ALARM_S > 0:
+    import threading
+
+    def _watchdog():
+        import sys
+        print(f'[bench +{time.time() - _T0:.0f}s] WATCHDOG: exceeded '
+              f'{_ALARM_S}s (device tunnel likely wedged); aborting with '
+              'the scenarios emitted so far', file=sys.stderr, flush=True)
+        sys.stderr.flush()
+        os._exit(2)
+
+    # a daemon thread (not SIGALRM): the hang mode is the main thread
+    # blocked inside the PJRT client's C init, where signal handlers
+    # never get a bytecode boundary to run on.
+    _timer = threading.Timer(_ALARM_S, _watchdog)
+    _timer.daemon = True
+    _timer.start()
+
 
 def _emit(metric, value, unit, vs):
     print(json.dumps({'metric': metric, 'value': round(value, 3),
