@@ -109,18 +109,12 @@ def main():
     bctx.gen_galois_keys_for_elements([elt])
     msgs = rng.integers(0, bp.t, (2 * batch, bp.n), dtype=np.uint64)
     bcts = [bctx.encrypt(bctx.encode(m, level)) for m in msgs]
-    a = jax.device_put(np.stack([c.data for c in bcts[:batch]]))
-    b = jax.device_put(np.stack([c.data for c in bcts[batch:]]))
-    bkeys = jax.device_put(key_tree(bctx, galois_elts=[elt]))
 
     _note('keygen (CKKS)')
     cp = CkksParams.create(16384)
     cctx = CkksContext.create_random_context(cp, seed=9)
     vals = rng.uniform(-1, 1, (2 * batch, cp.slots))
     ccts = [cctx.encrypt(cctx.encode(v, level)) for v in vals]
-    ca = jax.device_put(np.stack([c.data for c in ccts[:batch]]))
-    cb = jax.device_put(np.stack([c.data for c in ccts[batch:]]))
-    ckeys = jax.device_put(key_tree(cctx))
 
     # ---- native multi-threaded host baselines (fast, do first) -------------
     _note('native host baselines')
@@ -147,6 +141,16 @@ def main():
 
     def budget_left():
         return (time.time() - _T0) < _BUDGET_S
+
+    # device staging AFTER the host baselines: a wedged tunnel then still
+    # leaves the host-native JSON lines on stdout (watchdog exits 2 later)
+    _note('device staging')
+    a = jax.device_put(np.stack([c.data for c in bcts[:batch]]))
+    b = jax.device_put(np.stack([c.data for c in bcts[batch:]]))
+    bkeys = jax.device_put(key_tree(bctx, galois_elts=[elt]))
+    ca = jax.device_put(np.stack([c.data for c in ccts[:batch]]))
+    cb = jax.device_put(np.stack([c.data for c in ccts[batch:]]))
+    ckeys = jax.device_put(key_tree(cctx))
 
     # ---- scenario 2 of the reference: CKKS mult_relin_rescale --------------
     if budget_left():
