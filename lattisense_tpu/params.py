@@ -165,6 +165,28 @@ class CkksParams(FheParams):
         return cls(n, primes[:nq], primes[nq:],
                    slots or entry.get('slots'), float(1 << 30), word_bits=32)
 
+    @classmethod
+    def create_tpu_btp_param(cls, n: int = 65536,
+                             slots: int | None = None) -> 'CkksParams':
+        """TPU-native BOOTSTRAP-capable profile: a uniform 31-bit chain for
+        the composite-scaling bootstrap (BootstrapConfig limbs_per_level=2:
+        working scales ≈2^62 span prime pairs, ModRaise lifts from the
+        composite base q0·q1 — every operation runs in the chip's native
+        32-bit words, schemes/bootstrap.py).
+
+        Budget: 48 q + 4 p limbs (logQP ≈ 1612 at n=2^16) sized for the
+        reference full-profile circuit quality (k=20, sine_deg=39,
+        double_angle=3, arcsine) with 8 limbs (4 multiplicative levels)
+        usable after bootstrap. That is ~66 bits over the reference's
+        N16QP1546 budget (≈ one security notch); recover parity by
+        dropping the arcsine (−4 limbs) or two spare levels.
+        """
+        from .core.modring import gen_ntt_primes
+        nq, npr = 48, 4
+        primes = gen_ntt_primes(n, 31, nq + npr)
+        return cls(n, primes[:nq], primes[nq:], slots, float(1 << 30),
+                   word_bits=32)
+
     def set_log_slots(self, log_slots: int):
         self.slots = 1 << log_slots
 

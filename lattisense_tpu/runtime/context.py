@@ -304,18 +304,20 @@ class CkksBtpContext(CkksContext):
         from ..schemes import keys as K
         ctx = cls(params, seed)
         q, p, n = tuple(params.q), tuple(params.p), params.n
+        wb = params.word_bits
         ctx.sk = K.SecretKey(K.sample_ternary(ctx.rng, n))
-        ctx.pk = K.gen_public_key(ctx.rng, ctx.sk, q, n)
-        ctx.rlk = K.gen_relin_key(ctx.rng, ctx.sk, q, p, n)
+        ctx.pk = K.gen_public_key(ctx.rng, ctx.sk, q, n, wb)
+        ctx.rlk = K.gen_relin_key(ctx.rng, ctx.sk, q, p, n, wb)
         ctx.sk_sparse = K.SecretKey(K.sample_ternary(ctx.rng, n, h=min(h, n // 4)))
         # swk_dts re-keys dense→sparse (encrypts s_dense under s_sparse);
         # swk_std re-keys sparse→dense
         ctx.swk['swk_dts'] = K.gen_keyswitch_key(
             ctx.rng, ctx.sk_sparse,
-            lambda mods: ctx.sk.ntt_form(tuple(mods), n), q, p, n)
+            lambda mods: ctx.sk.ntt_form(tuple(mods), n, wb), q, p, n, wb)
         ctx.swk['swk_std'] = K.gen_keyswitch_key(
             ctx.rng, ctx.sk,
-            lambda mods: ctx.sk_sparse.ntt_form(tuple(mods), n), q, p, n)
+            lambda mods: ctx.sk_sparse.ntt_form(tuple(mods), n, wb), q, p, n,
+            wb)
         ctx.create_bootstrapper(btp_config)
         return ctx
 

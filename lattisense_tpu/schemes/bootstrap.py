@@ -54,6 +54,15 @@ class BootstrapConfig:
                                    # far above the EvalMod noise floor
                                    # (reference btp_eval_mod_message_ratio);
                                    # also caps precision at ~(ratio/2π)²·6
+    limbs_per_level: int | None = None
+                                   # limbs one multiplicative level consumes.
+                                   # None = auto: 1 on 64-bit-word chains,
+                                   # 2 on the 32-bit-word (TPU-native)
+                                   # engine, where the working scale ≈ 2^62
+                                   # spans a PAIR of 31-bit primes, every
+                                   # rescale drops two limbs, and ModRaise
+                                   # lifts from the composite base q0·q1
+                                   # (composite scaling)
     arcsine: bool = False          # cancel the sine's cubic term with a
                                    # deg-3 arcsine correction after EvalMod
                                    # (2 extra levels; the cubic acts per
@@ -78,14 +87,28 @@ class CkksBootstrapper:
         # twiddle formula), at the cost of a SubSum projection whose
         # rotations are the frontend's predicted 2^i·s steps
         self.repl = (p.n // 2) // s
-        self.q0 = p.q[0]
+        # limbs per multiplicative level: the 32-bit-word engine runs the
+        # whole pipeline at composite scales spanning prime PAIRS (every
+        # prime is ≤31 bits but the working scale must stay ≈2^62 — any
+        # systematic error is amplified up to n/2 by SlotsToCoeffs)
+        self.step = int(cfg.limbs_per_level or
+                        (2 if getattr(engine, 'word_bits', 64) == 32 else 1))
+        st = self.step
+        # the ModRaise base: one prime, or the composite q0·q1 for pairs
+        self.q0_int = 1
+        for j in range(st):
+            self.q0_int *= int(p.q[j])
+        self.q0 = float(self.q0_int)
         self.scale = p.scale
         L = p.max_level
 
-        # EvalMod working scale ≈ the chain primes: all scale-preserving
-        # constant multiplies encode at the level prime (Lattigo runs
-        # EvalMod at 2^60 the same way).
-        self.em_scale = float(cfg.em_scale or p.q[1])
+        # EvalMod working scale ≈ one level's prime product: all
+        # scale-preserving constant multiplies encode at the level primes
+        # (Lattigo runs EvalMod at 2^60 the same way).
+        em_default = 1.0
+        for j in range(st, 2 * st):
+            em_default *= float(p.q[j])
+        self.em_scale = float(cfg.em_scale or em_default)
 
         # Encoded at the full level: PlaintextMul limbs slice down to any
         # working level, so no rigid level schedule is needed. Matrix
@@ -115,21 +138,23 @@ class CkksBootstrapper:
                     / (2.0 * cfg.k * self.q0 * 2 ** cfg.double_angle
                        * self.repl))
         groups = cts_matrices(s, cfg.cts_depth, post_scale=post_cts)
-        self.cts = [EncodedLinearTransform(engine, g, L, split(g))
+        self.cts = [EncodedLinearTransform(engine, g, L, split(g),
+                                           limb_step=st)
                     for g in groups[:-1]]
         last = groups[-1]
         self.cts_last_re = EncodedLinearTransform(
             engine, {o: v * 0.5 for o, v in last.items()}, L, split(last),
-            out_scale_target=self.em_scale)
+            out_scale_target=self.em_scale, limb_step=st)
         self.cts_last_im = EncodedLinearTransform(
             engine, {o: v * -0.5j for o, v in last.items()}, L, split(last),
-            out_scale_target=self.em_scale)
+            out_scale_target=self.em_scale, limb_step=st)
         # Diagonals encode lazily at each level's rescale prime (scale=None)
         # so the running scale is preserved exactly through both transforms
         # on ANY chain layout (mixed 40/60-bit regions included) and the
         # final steering factor stays ≥ 1.
         post_stc = self.q0 / (2.0 * np.pi * self.scale_eff)
-        self.stc = [EncodedLinearTransform(engine, g, L, split(g))
+        self.stc = [EncodedLinearTransform(engine, g, L, split(g),
+                                           limb_step=st)
                     for g in stc_matrices(s, cfg.stc_depth, post_scale=post_stc)]
 
         # EvalMod series; the operand arrives pre-normalized to [-1, 1]
@@ -143,12 +168,12 @@ class CkksBootstrapper:
         a = 1.0 / 2 ** (r + 1)
         self.evalmod = ChebyshevEvaluator(
             engine, chebyshev_interpolate(f, -a, a, cfg.sine_deg), -1.0, 1.0,
-            pre_normalized=True)
+            pre_normalized=True, limb_step=st)
         # steer CoeffsToSlots' output exactly onto the evaluator's planned
         # entry scale (anchored at em_scale) — the evaluator then enters
         # on-plan with zero extra levels and its doublings stay inside the
         # EvalMod prime region
-        entry_level = L - cfg.cts_depth
+        entry_level = L - cfg.cts_depth * st
         self.em_entry_scale = self.evalmod.planned_scale(entry_level,
                                                          self.em_scale)
         self.cts_last_re.out_scale_target = self.em_entry_scale
@@ -168,30 +193,59 @@ class CkksBootstrapper:
         return sorted(elts)
 
     def min_levels(self) -> int:
-        """Rough level consumption (cts + split + evalmod + doublings +
-        recombine + stc)."""
+        """Rough LIMB consumption (cts + split + evalmod + doublings +
+        recombine + stc, each level = ``step`` limbs)."""
         cfg = self.cfg
         em = (len(self.evalmod.coeffs) - 1).bit_length() + 2
         arc = 2 if cfg.arcsine else 0
-        return (cfg.cts_depth + 1 + em + cfg.double_angle + arc + 1
-                + cfg.stc_depth)
+        return self.step * (cfg.cts_depth + 1 + em + cfg.double_angle + arc
+                            + 1 + cfg.stc_depth)
+
+    # ------------------------------------------------------------------
+    def _qstep(self, level: int) -> float:
+        out = 1.0
+        for j in range(level - self.step + 1, level + 1):
+            out *= float(self.engine.q[j])
+        return out
+
+    def _rescale_n(self, xp, ct):
+        for _ in range(self.step):
+            ct = self.engine.rescale(xp, ct)
+        return ct
 
     # ------------------------------------------------------------------
     def mod_raise(self, xp, ct: Ciphertext) -> Ciphertext:
-        """Level 0 → full chain by centered lift of the coefficients."""
+        """Base level (``step``−1) → full chain by centered lift of the
+        coefficients mod the (possibly composite) base Q0 = Π q_{<step}."""
         eng = self.engine
         p = eng.params
-        ring0 = eng.ring(0)
+        ring_b = eng.ring(self.step - 1)
         ringL = eng.ring(p.max_level)
-        coeffs = ntt_mod.intt(xp, ct.data, ring0)        # (2, 1, n) mod q0
-        v = coeffs[..., 0, :]
-        half = v.dtype.type(self.q0 // 2)
-        qs = ringL.q                                     # (L+1, 1)
+        coeffs = ntt_mod.intt(xp, ct.data, ring_b)     # (2, step, n) mod q_j
+        if self.step == 1:
+            v = coeffs[..., 0, :].astype(np.uint64)
+        else:
+            # CRT-reconstruct v mod Q0 exactly in u64 (Q0 < 2^63): the
+            # composite base is odd, so Montgomery reduction applies
+            from ..core import u64 as _u
+            Q0 = self.q0_int
+            pinv = np.uint64((-pow(Q0, -1, 1 << 64)) % (1 << 64))
+            r2 = np.uint64(pow(1 << 64, 2, Q0))
+            Q0a = np.uint64(Q0)
+            v = None
+            for j in range(self.step):
+                qj = int(eng.q[j])
+                cj = np.uint64((Q0 // qj) * pow(Q0 // qj, -1, qj) % Q0)
+                vj = coeffs[..., j, :].astype(np.uint64)
+                term = _u.mulmod(xp, vj, xp.full_like(vj, cj), Q0a, pinv, r2)
+                v = term if v is None else _u.addmod(xp, v, term, Q0a)
+        half = np.uint64(self.q0_int // 2)
+        qs = ringL.q.astype(np.uint64)                 # (L+1, 1)
         vm = v[..., None, :] % qs
-        q0m = (np.asarray([self.q0], dtype=np.uint64)[None, :] % qs)
+        q0m = (np.asarray([self.q0_int], dtype=np.uint64)[None, :] % qs)
         neg = (vm + qs - q0m) % qs
         lifted = xp.where((v > half)[..., None, :], neg, vm)
-        data = ntt_mod.ntt(xp, lifted, ringL)
+        data = ntt_mod.ntt(xp, lifted.astype(ringL.q.dtype), ringL)
         return Ciphertext(data=data, level=p.max_level, is_ntt=True,
                           scale=ct.scale)
 
@@ -199,11 +253,10 @@ class CkksBootstrapper:
         """Constant multiply that lands the output at ``target_scale``
         (defaults to preserving ct.scale) by steering the plaintext scale."""
         eng = self.engine
-        q_lv = float(eng.q[ct.level])
         target = target_scale or ct.scale
-        pt_scale = target * q_lv / ct.scale
+        pt_scale = target * self._qstep(ct.level) / ct.scale
         pt = eng.encode(np.full(eng.params.slots, value), ct.level, pt_scale)
-        out = eng.rescale(xp, eng.mult(xp, ct, pt))
+        out = self._rescale_n(xp, eng.mult(xp, ct, pt))
         out.scale = target
         return out
 
@@ -213,7 +266,8 @@ class CkksBootstrapper:
 
     def _double_angle(self, xp, ct, rlk):
         eng = self.engine
-        sq = eng.rescale(xp, eng.relinearize(xp, eng.mult(xp, ct, ct), rlk))
+        sq = self._rescale_n(xp, eng.relinearize(xp, eng.mult(xp, ct, ct),
+                                                 rlk))
         two = eng.add(xp, sq, sq)
         pt = eng.encode(np.full(eng.params.slots, -1.0), two.level, two.scale)
         return eng.add(xp, two, pt)
@@ -227,11 +281,14 @@ class CkksBootstrapper:
         Cancelling it costs 2 levels (v², v³) — the v³/6 division is free
         via the declared-scale dial."""
         eng = self.engine
-        v2 = eng.rescale(xp, eng.relinearize(xp, eng.mult(xp, ct, ct), rlk))
-        vd = eng.drop_level(xp, ct, 1)
-        v3 = eng.rescale(xp, eng.relinearize(xp, eng.mult(xp, v2, vd), rlk))
+        st = self.step
+        v2 = self._rescale_n(xp, eng.relinearize(xp, eng.mult(xp, ct, ct),
+                                                 rlk))
+        vd = eng.drop_level(xp, ct, st)
+        v3 = self._rescale_n(xp, eng.relinearize(xp, eng.mult(xp, v2, vd),
+                                                 rlk))
         v3.scale *= 6.0                      # decodes as v³/6
-        base = self._mul_const_complex(xp, eng.drop_level(xp, ct, 1), 1.0,
+        base = self._mul_const_complex(xp, eng.drop_level(xp, ct, st), 1.0,
                                        target_scale=v3.scale)
         return eng.add(xp, v3, base)
 
@@ -255,11 +312,12 @@ class CkksBootstrapper:
                 from ..core.rns import _col, _mont
                 from ..core import u64 as _u
                 wb = getattr(eng, 'word_bits', 64)
-                ring0 = eng.ring(0)
-                cm = _col([_mont(c_int % qi, qi, wb) for qi in eng.q[:1]], wb)
-                ct = Ciphertext(data=_u.mont_mul(xp, ct.data, cm, ring0.q,
-                                                 ring0.pinv),
-                                level=0, is_ntt=ct.is_ntt,
+                ring_b = eng.ring(self.step - 1)
+                cm = _col([_mont(c_int % qi, qi, wb)
+                           for qi in eng.q[:self.step]], wb)
+                ct = Ciphertext(data=_u.mont_mul(xp, ct.data, cm, ring_b.q,
+                                                 ring_b.pinv),
+                                level=self.step - 1, is_ntt=ct.is_ntt,
                                 scale=ct.scale * c_int)
             ct.scale = self.scale_eff
             if swk_dts is not None:
@@ -284,13 +342,13 @@ class CkksBootstrapper:
         for i, lt in enumerate(self.cts):
             def s_cts(xp, cts, rlk, glk_map, lt=lt):
                 t, = cts
-                return (eng.rescale(xp, lt(xp, t, glk_map)),)
+                return (self._rescale_n(xp, lt(xp, t, glk_map)),)
             segs.append((f'cts{i}', s_cts))
 
         def s_split(xp, cts, rlk, glk_map):
             t, = cts
-            ta = eng.rescale(xp, self.cts_last_re(xp, t, glk_map))
-            tb = eng.rescale(xp, self.cts_last_im(xp, t, glk_map))
+            ta = self._rescale_n(xp, self.cts_last_re(xp, t, glk_map))
+            tb = self._rescale_n(xp, self.cts_last_im(xp, t, glk_map))
             ta.scale = tb.scale = self.em_entry_scale
             t0 = eng.add(xp, ta, self._conj(xp, ta, glk_map))
             t1 = eng.add(xp, tb, self._conj(xp, tb, glk_map))
@@ -336,7 +394,7 @@ class CkksBootstrapper:
         for i, lt in enumerate(self.stc):
             def s_stc(xp, cts, rlk, glk_map, lt=lt):
                 t, = cts
-                return (eng.rescale(xp, lt(xp, t, glk_map)),)
+                return (self._rescale_n(xp, lt(xp, t, glk_map)),)
             segs.append((f'stc{i}', s_stc))
 
         def s_steer(xp, cts, rlk, glk_map):
@@ -356,8 +414,9 @@ class CkksBootstrapper:
         sparse bootstrap secret for the mod-raise (small |I|), then back to
         the dense evaluation secret before the linear transforms."""
         eng = self.engine
-        if ct.level != 0:
-            ct = eng.drop_level(xp, ct, ct.level)
+        base = self.step - 1
+        if ct.level != base:
+            ct = eng.drop_level(xp, ct, ct.level - base)
         cts = (ct,)
         for _name, fn in self.segments(ct.scale, swk_dts, swk_std):
             cts = fn(xp, cts, rlk, glk_map)

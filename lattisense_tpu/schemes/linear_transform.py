@@ -26,18 +26,22 @@ class EncodedLinearTransform:
 
     def __init__(self, engine, diags: dict, level: int, n1: int,
                  scale: float | None = None,
-                 out_scale_target: float | None = None):
+                 out_scale_target: float | None = None,
+                 limb_step: int = 1):
         """``scale=None`` (recommended for chains with mixed prime sizes)
         encodes the diagonals lazily at the prime of the level where the
         transform executes — the product's rescale then preserves the
         running ciphertext scale exactly, whatever the chain looks like.
         ``out_scale_target`` instead steers the post-rescale output onto a
-        fixed scale (the bootstrap EvalMod entry)."""
+        fixed scale (the bootstrap EvalMod entry). ``limb_step``: limbs one
+        transform level consumes (2 on the 32-bit-word engine, where the
+        working scale spans a prime pair — the caller rescales twice)."""
         self.engine = engine
         self.level = level
         self.n1 = n1
         self.scale = scale
         self.out_scale_target = out_scale_target
+        self.step = int(limb_step)
         slots = engine.params.slots
         self.slots = slots
         self.raw: dict[tuple[int, int], np.ndarray] = {}
@@ -59,7 +63,9 @@ class EncodedLinearTransform:
     def _plain(self, ct_level: int, ct_scale: float):
         if self.scale is not None:
             return self._plain_cache[self.level]
-        q_lv = float(self.engine.q[ct_level])
+        q_lv = 1.0
+        for j in range(ct_level - self.step + 1, ct_level + 1):
+            q_lv *= float(self.engine.q[j])
         if self.out_scale_target is not None:
             scale = self.out_scale_target * q_lv / ct_scale
         else:

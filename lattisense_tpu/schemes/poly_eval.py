@@ -62,14 +62,22 @@ class ChebyshevEvaluator:
     """Evaluate Σ c_i·T_i((2x-(a+b))/(b-a)) on a CKKS ciphertext."""
 
     def __init__(self, engine, coeffs, a: float, b: float,
-                 baby_log: int | None = None, pre_normalized: bool = False):
+                 baby_log: int | None = None, pre_normalized: bool = False,
+                 limb_step: int = 1):
         """``pre_normalized``: the operand already lives on [-1, 1] (the
         caller folded the affine map into an upstream constant, e.g. the
-        bootstrap CoeffsToSlots post-scale) — saves one level."""
+        bootstrap CoeffsToSlots post-scale) — saves one level.
+
+        ``limb_step``: limbs consumed per multiplicative level. 1 for
+        chains whose primes match the working scale (the u64 layout);
+        2 for the 32-bit-word engine, where the working scale ≈ 2^62
+        spans a PAIR of 31-bit primes and every rescale drops two limbs
+        (composite scaling — the TPU-native bootstrap's level unit)."""
         self.engine = engine
         self.coeffs = np.asarray(coeffs, dtype=np.float64)
         self.a, self.b = float(a), float(b)
         self.pre_normalized = pre_normalized
+        self.step = int(limb_step)
         if pre_normalized:
             assert abs(a + b) < 1e-12, 'pre-normalized domain must be symmetric'
         d = len(self.coeffs) - 1
@@ -84,11 +92,25 @@ class ChebyshevEvaluator:
     # construction — stable under mixed prime sizes (the forward recurrence
     # σ²/q squares deviations and diverges). The sqrt damps the anchor
     # choice; anchored at the EvalMod/entry magnitude.
+    def _qstep(self, level: int) -> float:
+        """Product of the ``step`` primes a rescale chain from ``level``
+        divides by (q_level for step 1; q_level·q_{level-1} for pairs)."""
+        q = self.engine.q
+        out = 1.0
+        for j in range(level - self.step + 1, level + 1):
+            out *= float(q[j])
+        return out
+
+    def _rescale(self, xp, ct):
+        for _ in range(self.step):
+            ct = self.engine.rescale(xp, ct)
+        return ct
+
     def _plan_scales(self, anchor: float):
         q = self.engine.q
-        sigma = {0: float(anchor)}
-        for lv in range(1, len(q)):
-            sigma[lv] = float(np.sqrt(sigma[lv - 1] * float(q[lv])))
+        sigma = {lv: float(anchor) for lv in range(self.step)}
+        for lv in range(self.step, len(q)):
+            sigma[lv] = float(np.sqrt(sigma[lv - self.step] * self._qstep(lv)))
         self._sigma = sigma
 
     def planned_scale(self, level: int, anchor: float) -> float:
@@ -100,16 +122,15 @@ class ChebyshevEvaluator:
 
     def _to_level(self, xp, ct, level: int):
         """Bring ct down to ``level`` landing exactly on σ(level): free
-        drops to level+1, then one steering constant multiply."""
+        drops to level+step, then one steering constant multiply."""
         if ct.level == level:
             return ct
         eng = self.engine
-        if ct.level > level + 1:
-            ct = eng.drop_level(xp, ct, ct.level - level - 1)
-        q_lv = float(eng.q[ct.level])
-        pt_scale = self._sigma[level] * q_lv / ct.scale
+        if ct.level > level + self.step:
+            ct = eng.drop_level(xp, ct, ct.level - level - self.step)
+        pt_scale = self._sigma[level] * self._qstep(ct.level) / ct.scale
         pt = eng.encode(np.full(eng.params.slots, 1.0), ct.level, pt_scale)
-        out = eng.rescale(xp, eng.mult(xp, ct, pt))
+        out = self._rescale(xp, eng.mult(xp, ct, pt))
         out.scale = self._sigma[level]
         return out
 
@@ -127,23 +148,23 @@ class ChebyshevEvaluator:
         return eng.add(xp, ct, pt)
 
     def _mul_const(self, xp, ct, value: float, rescale=True):
-        """Constant multiply landing exactly on σ(level-1)."""
+        """Constant multiply landing exactly on σ(level-step)."""
         eng = self.engine
-        q_lv = float(eng.q[ct.level])
-        pt_scale = self._sigma[ct.level - 1] * q_lv / ct.scale
+        pt_scale = (self._sigma[ct.level - self.step]
+                    * self._qstep(ct.level) / ct.scale)
         pt = eng.encode(np.full(eng.params.slots, value), ct.level, pt_scale)
         out = eng.mult(xp, ct, pt)
         if not rescale:
             return out
-        out = eng.rescale(xp, out)
+        out = self._rescale(xp, out)
         out.scale = self._sigma[out.level]
         return out
 
     def _mult(self, xp, x, y, rlk):
         x, y = self._align(xp, [x, y])
-        out = self.engine.rescale(xp, self.engine.relinearize(
+        out = self._rescale(xp, self.engine.relinearize(
             xp, self.engine.mult(xp, x, y), rlk))
-        # x.scale·y.scale/q ≡ σ(ℓ-1) by the plan; pin the float exactly
+        # x.scale·y.scale/Πq ≡ σ(ℓ-step) by the plan; pin the float exactly
         out.scale = self._sigma[out.level]
         return out
 
@@ -211,10 +232,10 @@ class ChebyshevEvaluator:
         sig = self._sigma[ct.level]
         if abs(ct.scale - sig) / sig > 1e-9:
             eng = self.engine
-            q_lv = float(eng.q[ct.level])
-            pt_scale = self._sigma[ct.level - 1] * q_lv / ct.scale
+            pt_scale = (self._sigma[ct.level - self.step]
+                        * self._qstep(ct.level) / ct.scale)
             pt = eng.encode(np.full(eng.params.slots, 1.0), ct.level, pt_scale)
-            ct = eng.rescale(xp, eng.mult(xp, ct, pt))
+            ct = self._rescale(xp, eng.mult(xp, ct, pt))
             ct.scale = self._sigma[ct.level]
         T = self._basis(xp, ct, rlk)
         return self._eval_rec(xp, self.coeffs, T, rlk)

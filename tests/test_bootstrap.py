@@ -240,6 +240,56 @@ def test_bootstrap_reference_full_profile():
     assert err < 5e-2, f'full-profile bootstrap err {err:.2e}'
 
 
+def test_bootstrap_w32_composite_scale():
+    """TPU-native (32-bit-word) bootstrap via composite scaling: the
+    working scale ≈2^62 spans a PAIR of 31-bit primes (limbs_per_level
+    auto-selects 2 on w32 engines), every rescale drops two limbs, and
+    ModRaise lifts from the composite base q0·q1 by an exact u64 CRT.
+
+    Measured (n=256, 2026-08-18): ratio 16 plain 2.16e-4 (the cubic
+    intermodulation floor, same as u64); ratio 8 + arcsine 4.24e-6 — the
+    noise slope, u64-class quality with every op in native 32-bit words."""
+    qs = gen_ntt_primes(N, 31, 46)
+    p = gen_ntt_primes(N, 31, 3, exclude=tuple(qs))
+    params = CkksParams.create_custom(N, qs, p, scale=float(1 << 30),
+                                      word_bits=32)
+    rng = np.random.default_rng(0)
+    msg = rng.uniform(-1, 1, params.slots)
+    errs = {}
+    for ratio, arc in ((16.0, False), (8.0, True)):
+        cfg = BootstrapConfig(cts_depth=3, stc_depth=3, k=16, sine_deg=30,
+                              double_angle=3, message_ratio=ratio,
+                              arcsine=arc)
+        ctx = CkksBtpContext.create_random_context(params, seed=7, h=32,
+                                                   btp_config=cfg)
+        assert ctx.engine.bootstrapper.step == 2      # auto from word_bits
+        fresh = ctx.bootstrap(ctx.encrypt(ctx.encode(msg, 1)))
+        assert fresh.level >= 7, f'too few limbs left ({fresh.level})'
+        errs[arc] = np.max(np.abs(ctx.decrypt_decode(fresh).real - msg))
+    assert errs[False] < 5e-4, f'w32 bootstrap err {errs[False]:.2e}'
+    assert errs[True] < 2e-5, f'w32 arcsine bootstrap err {errs[True]:.2e}'
+
+
+@pytest.mark.skipif(os.environ.get('LATTISENSE_HEAVY_TESTS', '') == '',
+                    reason='heavy: full-size n=65536 w32 bootstrap; '
+                           'set LATTISENSE_HEAVY_TESTS=1')
+def test_bootstrap_w32_full_size():
+    """Full-size TPU-native bootstrap: n=2^16 on the 31-bit chain
+    (create_tpu_btp_param), reference full-profile circuit quality
+    (k=20, sine_deg=39, arcsine)."""
+    params = CkksParams.create_tpu_btp_param(65536)
+    cfg = BootstrapConfig(cts_depth=3, stc_depth=3, k=20, sine_deg=39,
+                          double_angle=3, message_ratio=8.0, arcsine=True)
+    ctx = CkksBtpContext.create_random_context(params, seed=77, h=192,
+                                               btp_config=cfg)
+    rng = np.random.default_rng(7)
+    msg = rng.uniform(-1, 1, params.slots)
+    fresh = ctx.bootstrap(ctx.encrypt(ctx.encode(msg, 1)))
+    err = np.max(np.abs(ctx.decrypt_decode(fresh).real - msg))
+    assert fresh.level >= 8, f'too few limbs left ({fresh.level})'
+    assert err < 5e-4, f'w32 full-size bootstrap err {err:.2e}'
+
+
 @pytest.mark.skipif(os.environ.get('LATTISENSE_HEAVY_TESTS', '') == '',
                     reason='heavy: full-size n=65536 bootstrap, ~50 min CPU; '
                            'set LATTISENSE_HEAVY_TESTS=1')
