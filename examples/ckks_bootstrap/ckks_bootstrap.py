@@ -17,26 +17,44 @@ import numpy as np  # noqa: E402
 
 
 def main():
-    example_args('CKKS bootstrapping (toy chain)')
+    import sys as _sys
+    w32 = '--w32' in _sys.argv
+    if w32:
+        _sys.argv.remove('--w32')
+    example_args('CKKS bootstrapping (toy chain); --w32 runs the '
+                 'TPU-native 32-bit-word composite-scaling variant')
     from lattisense_tpu.core.modring import gen_ntt_primes
     from lattisense_tpu.params import CkksParams
     from lattisense_tpu.runtime import CkksBtpContext
     from lattisense_tpu.schemes.bootstrap import BootstrapConfig
 
     N = 256
-    q0 = gen_ntt_primes(N, 61, 1)
-    qs = gen_ntt_primes(N, 60, 22)
-    p = gen_ntt_primes(N, 61, 3, exclude=tuple(q0))
-    params = CkksParams.create_custom(N, q0 + qs, p[1:],
-                                      scale=float(1 << 45))
-    cfg = BootstrapConfig(cts_depth=3, stc_depth=3, k=16, sine_deg=30,
-                          double_angle=3)
+    if w32:
+        # TPU-native: uniform 31-bit chain; the working scale spans prime
+        # PAIRS (composite scaling, limbs_per_level auto-2), so the
+        # exhausted input sits at level 1 (the composite base q0·q1)
+        qs = gen_ntt_primes(N, 31, 46)
+        p = gen_ntt_primes(N, 31, 3, exclude=tuple(qs))
+        params = CkksParams.create_custom(N, qs, p, scale=float(1 << 30),
+                                          word_bits=32)
+        cfg = BootstrapConfig(cts_depth=3, stc_depth=3, k=16, sine_deg=30,
+                              double_angle=3, message_ratio=8.0,
+                              arcsine=True)
+    else:
+        q0 = gen_ntt_primes(N, 61, 1)
+        qs = gen_ntt_primes(N, 60, 22)
+        p = gen_ntt_primes(N, 61, 3, exclude=tuple(q0))
+        params = CkksParams.create_custom(N, q0 + qs, p[1:],
+                                          scale=float(1 << 45))
+        cfg = BootstrapConfig(cts_depth=3, stc_depth=3, k=16, sine_deg=30,
+                              double_angle=3)
     ctx = CkksBtpContext.create_random_context(params, seed=7, h=32,
                                                btp_config=cfg)
 
     rng = np.random.default_rng(0)
     msg = rng.uniform(-1, 1, ctx.params.slots)
-    ct = ctx.encrypt(ctx.encode(msg, 0))          # level 0: exhausted
+    base = ctx.engine.bootstrapper.step - 1
+    ct = ctx.encrypt(ctx.encode(msg, base))       # exhausted (base level)
     print(f'input level: {ct.level} (no multiplies left)')
 
     fresh = ctx.bootstrap(ct)
