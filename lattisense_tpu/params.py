@@ -195,15 +195,19 @@ class CkksParams(FheParams):
         return self.slots.bit_length() - 1
 
 
-def params_from_task_json(parameter: dict) -> FheParams:
+def params_from_task_json(parameter: dict, word_bits: int = 64) -> FheParams:
     """Rebuild runtime params from a mega_ag.json 'parameter' blob
     (schema: frontend/custom_task.py:2307-2331). Bootstrap tasks carry
     btp_* fields; they are attached as ``params.btp`` so the runtime can
-    validate/construct a matching bootstrapper config."""
+    validate/construct a matching bootstrapper config. ``word_bits``: the
+    RNS word the executing engine should use — the blob itself is
+    word-agnostic (the task runtime adopts the caller context's word)."""
     if 't' in parameter:
-        return BfvParams(parameter['n'], parameter['t'], parameter['q'], parameter['p'])
+        return BfvParams(parameter['n'], parameter['t'], parameter['q'],
+                         parameter['p'], word_bits=word_bits)
     p = CkksParams(parameter['n'], parameter['q'], parameter['p'],
-                   parameter.get('slots'), parameter.get('scale', 0.0))
+                   parameter.get('slots'), parameter.get('scale', 0.0),
+                   word_bits=word_bits)
     if 'btp_cts_depth' in parameter:
         p.btp = {k: v for k, v in parameter.items() if k.startswith('btp_')}
     return p

@@ -653,7 +653,26 @@ class FheTaskTpu:
             import jax
             self._offline = jax.tree.map(jax.device_put, self._offline)
 
+    def _adopt_context_word(self, context):
+        """Re-bind the task engine onto the caller context's RNS word.
+
+        The serialized parameter blob is word-agnostic (same primes either
+        way); a context built on the 32-bit TPU-native word must execute
+        with u32 arrays, so the engine, executor closures, and compiled
+        cache are rebuilt once on first word change."""
+        wb = getattr(context.params, 'word_bits', 64)
+        if wb == self.params.word_bits:
+            return
+        self.params = params_from_task_json(self.mag['parameter'],
+                                            word_bits=wb)
+        self.engine = (BfvEngine if self.algo == 'BFV'
+                       else CkksEngine)(self.params)
+        self._build_plan()
+        self._jitted = None
+        self._out_scales = {}
+
     def check(self, context, input_values: dict):
+        self._adopt_context_word(context)
         check_sig.check_signatures(context, self.signature, input_values,
                                    [r for r in self.signature['online']
                                     if r['phase'] == 'out'])
@@ -761,6 +780,7 @@ class FheTaskTpu:
         """Ahead-of-time compile (jit lower+compile) without executing."""
         if self.mode != 'jit':
             return
+        self._adopt_context_word(context)
         import jax
         import jax.numpy as jnp
         flat_args = self._flatten_args(input_values)

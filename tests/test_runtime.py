@@ -477,3 +477,34 @@ def test_partitioned_mode_host_only_custom(bfv_setup, tmp_path):
     got, _ = task.run(context, {'x': ea})
     np.testing.assert_array_equal(context.decrypt_decode(got['z']),
                                   context.decrypt_decode(ref['z']))
+
+
+@pytest.mark.parametrize('mode', ['eager', 'jit'])
+def test_w32_task_adopts_context_word(tmp_path, mode):
+    """A compiled task executed with a 32-bit-word context: the runtime
+    rebuilds its engine on the context's RNS word (the serialized blob is
+    word-agnostic), so 31-bit-chain tasks run the TPU-native u32 path."""
+    n, t = 64, 65537
+    primes = gen_ntt_primes(n, 31, 6)
+    q, p = primes[:4], primes[4:]
+    fe = ct.BfvParam.create_custom_param(n=n, q=list(q), p=list(p), t=t)
+
+    def build():
+        x = ct.BfvCiphertextNode('x', 3)
+        y = ct.BfvCiphertextNode('y', 3)
+        z = ct.mult_relin(x, y, 'z')
+        return [ct.Argument('x', x), ct.Argument('y', y)], [ct.Argument('z', z)]
+
+    task_dir = gen_task(fe, build, tmp_path)
+    params = BfvParams.create_custom(n, t, list(q), list(p), word_bits=32)
+    ctx = BfvContext.create_random_context(params, seed=5)
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, t, n, dtype=np.uint64)
+    b = rng.integers(0, t, n, dtype=np.uint64)
+    task = FheTaskTpu(task_dir, mode=mode)
+    out, _ = task.run(ctx, {'x': ctx.encrypt(ctx.encode(a, 3)),
+                            'y': ctx.encrypt(ctx.encode(b, 3))})
+    assert task.engine.word_bits == 32
+    assert np.asarray(out['z'].data).dtype == np.uint32
+    np.testing.assert_array_equal(
+        ctx.decrypt_decode(out['z']), oracles.vec_mod_mul(a, b, t))
