@@ -116,6 +116,19 @@ class FheTaskTpu:
         self._build_plan()
         self._jitted = None
         self._out_scales: dict = {}
+        self._pool = None
+
+    def _host_pool(self):
+        """Lazy thread pool for host (custom) executors in partitioned mode
+        — the reference's CPU bridge pool (min(16,hw)-2 workers,
+        gpu_wrapper.cu:157-172) that lets host work overlap backend
+        execution."""
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(
+                max_workers=max(1, min(16, os.cpu_count() or 1) - 2),
+                thread_name_prefix='lattisense-host')
+        return self._pool
 
     # ------------------------------------------------------------------
     # Plan construction (load-time executor binding, reference parity:
@@ -575,29 +588,74 @@ class FheTaskTpu:
         env[out_id] = out
 
     def _run_partitioned(self, input_arrays, key_tree, scales, progress=None):
+        """Partitioned execution with heterogeneous overlap: custom (host)
+        steps run asynchronously in the host thread pool while the main
+        thread keeps dispatching device segments — XLA dispatch is itself
+        async, so host executors and device compute genuinely overlap; a
+        consumer blocks only when it actually reads a pending host output.
+        This is the reference scheduler's concurrent routing of on_cpu
+        nodes to the CPU pool alongside backend work
+        (cpu_task_utils.h:540-546, gpu_wrapper.cu:204-345). Dependencies
+        are honored by construction: segments are submitted in topo order
+        and the pool dequeues FIFO, so a host job only ever waits on
+        earlier-submitted jobs (no deadlock at any pool size)."""
         import jax
         import jax.numpy as jnp
+        from concurrent.futures import Future
         env = self._seed_env(input_arrays, scales)
         if self._jitted is None:
             self._jitted = {}
         np_keys = None
         done = 0
+        host_jobs = []
+
+        def resolve(i):
+            v = env[i]
+            if isinstance(v, Future):
+                env[i] = v = v.result()   # re-raises host-executor errors
+            return v
+
         for si, (kind, idxs) in enumerate(self._segments()):
             if kind == 'btp':
+                for i in self.plan_meta[idxs[0]]['inputs']:
+                    if i in env:
+                        resolve(i)
                 self._run_btp_chunked(env, key_tree, self.plan_meta[idxs[0]])
             elif kind == 'custom':
+                meta = self.plan_meta[idxs[0]]
                 step = self.plan[idxs[0]]
                 if np_keys is None:
                     np_keys = self._build_keys(
                         jax.tree.map(np.asarray, key_tree))
-                for i in self.plan_meta[idxs[0]]['inputs']:
-                    if i in env:                      # device → host (ABI)
-                        env[i] = jax.tree.map(np.asarray, env[i])
-                step(env, np, np_keys)
+                ins = {i: env[i] for i in meta['inputs'] if i in env}
+                outs = {o: Future() for o in meta['outputs']}
+
+                def host_job(_step=step, _ins=ins, _outs=outs,
+                             _keys=np_keys):
+                    try:
+                        sub = {}
+                        for i, v in _ins.items():
+                            if isinstance(v, Future):
+                                v = v.result()
+                            # device → host fetch (the ABI bridge hop)
+                            # happens in the worker, off the dispatch path
+                            sub[i] = jax.tree.map(np.asarray, v)
+                        _step(sub, np, _keys)
+                        for o, f in _outs.items():
+                            f.set_result(sub[o])
+                    except BaseException as e:
+                        for f in _outs.values():
+                            f.set_exception(e)
+                        raise
+
+                host_jobs.append(self._host_pool().submit(host_job))
+                env.update(outs)
             else:
                 in_ids = sorted({i for k in idxs
                                  for i in self.plan_meta[k]['inputs']
                                  if i in env})
+                for i in in_ids:      # block only on pending host outputs
+                    resolve(i)
                 out_ids = sorted({o for k in idxs
                                   for o in self.plan_meta[k]['outputs']})
                 cache_key = ('seg', si, tuple(scales))
@@ -618,6 +676,11 @@ class FheTaskTpu:
             done += len(idxs)
             if progress is not None:
                 progress(done)
+        for o in self.outputs:
+            resolve(o)
+        # surface host-executor failures whose outputs nothing consumed
+        for j in host_jobs:
+            j.result()
         self._out_scales[tuple(scales)] = [
             getattr(env[o], 'scale', 1.0) for o in self.outputs]
         return [jax.tree.map(np.asarray, env[o]).data

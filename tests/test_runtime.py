@@ -479,6 +479,48 @@ def test_partitioned_mode_host_only_custom(bfv_setup, tmp_path):
                                   context.decrypt_decode(ref['z']))
 
 
+def test_partitioned_host_steps_overlap(bfv_setup, tmp_path):
+    """Heterogeneous overlap (reference: scheduler routes on_cpu nodes to
+    the CPU pool concurrently with backend work, cpu_task_utils.h:540-546):
+    two INDEPENDENT host custom steps must execute concurrently, not in
+    ping-pong order. Each executor waits on a shared 2-party barrier —
+    sequential execution would time the barrier out; concurrent execution
+    passes it immediately."""
+    import threading
+    fe_param, context = bfv_setup
+    barrier = threading.Barrier(2, timeout=30.0)
+
+    def host_rendezvous(xp, engine, inputs, attrs):
+        barrier.wait()          # raises BrokenBarrierError if sequential
+        return engine.add(np, inputs[0], inputs[0])
+
+    def build():
+        x = ct.BfvCiphertextNode('x', 1)
+        y = ct.BfvCiphertextNode('y', 1)
+        a = ct.add(x, x, 'a')
+        b = ct.add(y, y, 'b')
+        ca = ct.BfvCiphertextNode('ca', 1)
+        cb = ct.BfvCiphertextNode('cb', 1)
+        ct.custom_compute([a], ca, type='host_rendezvous', attributes={})
+        ct.custom_compute([b], cb, type='host_rendezvous', attributes={})
+        z = ct.add(ca, cb, 'z')
+        return ([ct.Argument('x', x), ct.Argument('y', y)],
+                [ct.Argument('z', z)])
+
+    task_dir = gen_task(fe_param, build, tmp_path)
+    task = FheTaskTpu(task_dir, mode='partitioned',
+                      custom_executors={'host_rendezvous': host_rendezvous})
+    rng = np.random.default_rng(14)
+    mx = rng.integers(0, T, N, dtype=np.uint64)
+    my = rng.integers(0, T, N, dtype=np.uint64)
+    got, _ = task.run(context, {'x': context.encrypt(context.encode(mx, 1)),
+                                'y': context.encrypt(context.encode(my, 1))})
+    assert not barrier.broken
+    np.testing.assert_array_equal(
+        context.decrypt_decode(got['z']),
+        (4 * (mx.astype(object) + my.astype(object))) % T)
+
+
 @pytest.mark.parametrize('mode', ['eager', 'jit'])
 def test_w32_task_adopts_context_word(tmp_path, mode):
     """A compiled task executed with a 32-bit-word context: the runtime
