@@ -228,14 +228,24 @@ class FheTaskTpu:
         mesh = self.mesh
 
         def _place(stacked, xp):
-            """Constrain each stacked group axis onto the op mesh axis."""
+            """Constrain each stacked group axis onto the op mesh axis; when
+            the mesh also carries a ``limb`` axis, shard each member's RNS
+            limb axis (second-to-last) across it — kernel-level limb TP
+            composed with graph-level placement, GSPMD inserting the ICI
+            collectives where limbs interact (base conversion, key-switch
+            inner product)."""
             if mesh is None or xp.__name__ == 'numpy':
                 return stacked
             from jax.sharding import NamedSharding, PartitionSpec
-            sh = NamedSharding(mesh, PartitionSpec('op'))
-            return [jax.tree.map(
-                lambda x: jax.lax.with_sharding_constraint(x, sh), s)
-                for s in stacked]
+            limb = 'limb' if 'limb' in mesh.axis_names else None
+
+            def constrain(x):
+                spec = (('op',) + (None,) * (x.ndim - 3) + (limb, None)
+                        if limb and x.ndim >= 3 else ('op',))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, PartitionSpec(*spec)))
+
+            return [jax.tree.map(constrain, s) for s in stacked]
 
         def run(env, xp, keys):
             try:

@@ -79,13 +79,17 @@ def test_integrated_limb_tp_mult_relin(ctx):
         np.testing.assert_array_equal(out[i], np.asarray(ref.data))
 
 
-def test_task_graph_op_placement(ctx, tmp_path):
+@pytest.mark.parametrize('mesh_shape', [(8, 1), (2, 4)],
+                         ids=['op8', 'op2xlimb4'])
+def test_task_graph_op_placement(ctx, tmp_path, mesh_shape):
     """FheTaskTpu(mesh=...): iso-op groups of a compiled task sharded over
-    the op axis — results identical to the eager interpreter."""
+    the op axis — and, when the mesh carries a limb axis, each member's RNS
+    limbs sharded across it (graph-level DP x kernel-level TP in one
+    compiled program) — results identical to the eager interpreter."""
     from lattisense_tpu.frontend import custom_task as fct
     from lattisense_tpu.runtime import FheTaskTpu
     level = 3
-    mesh = make_mesh(op=8, limb=1)
+    mesh = make_mesh(op=mesh_shape[0], limb=mesh_shape[1])
     params = ctx.params
     fe = fct.BfvParam.create_custom_param(n=N, q=list(params.q),
                                           p=list(params.p), t=T)
