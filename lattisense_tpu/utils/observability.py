@@ -121,3 +121,51 @@ class MemoryMonitor:
 
 def dev_mode_enabled() -> bool:
     return os.environ.get('LATTISENSE_DEV', '') not in ('', '0')
+
+
+class trace:
+    """Device-level tracing context: wraps ``jax.profiler.trace`` so a task
+    run (or any region) produces a TensorBoard/perfetto-loadable trace —
+    the TPU-native replacement for the reference's compile-flag wall-time
+    prints (LATTISENSE_PRINT_PROFILE, CMakeLists.txt:268-271).
+
+        with observability.trace('/tmp/fhe_trace'):
+            task.run(ctx, args)
+    """
+
+    def __init__(self, log_dir: str, create_perfetto_link: bool = False):
+        self.log_dir = log_dir
+        self.create_perfetto_link = create_perfetto_link
+
+    def __enter__(self):
+        import jax
+        jax.profiler.start_trace(
+            self.log_dir, create_perfetto_link=self.create_perfetto_link)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+        jax.profiler.stop_trace()
+        return False
+
+
+def xla_cost_analysis(fn, *args, **kwargs):
+    """Compile ``fn`` for the current backend and return XLA's per-program
+    cost analysis: {'flops', 'bytes accessed', 'utilization operand', ...} —
+    the per-op cost-model hook SURVEY §5 prescribes for profiling (the
+    reference has no analog; its only profile signal is wall time). Values
+    are floats as reported by the compiled executable.
+
+    Use together with the ns-return convention of ``FheTaskTpu.run`` to
+    separate compute-bound from bandwidth-bound regressions:
+
+        cost = xla_cost_analysis(fn, a, b, keys)
+        ai = cost['flops'] / cost['bytes accessed']   # arithmetic intensity
+    """
+    import jax
+    compiled = jax.jit(fn).lower(*args, **kwargs).compile()
+    cost = compiled.cost_analysis()
+    # jax returns either a dict or a 1-element list of dicts by version
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    return dict(cost or {})

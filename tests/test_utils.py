@@ -46,6 +46,25 @@ def test_progress_bar_and_memory_monitor(tmp_path, capsys):
     assert int(lines[1].split(',')[1]) > 0   # nonzero RSS
 
 
+def test_trace_and_cost_analysis(tmp_path):
+    """jax-profiler trace context + XLA cost analysis (SURVEY §5 profiling
+    hooks): the trace directory materializes, and the cost model reports
+    nonzero flops for a modular-arithmetic program."""
+    import jax.numpy as jnp
+
+    from lattisense_tpu.utils import observability as obs
+
+    def f(a, b):
+        return (a * b) % jnp.uint32(65537)
+
+    a = np.arange(64, dtype=np.uint32)
+    cost = obs.xla_cost_analysis(f, a, a)
+    assert cost.get('flops', 0) > 0 or cost.get('bytes accessed', 0) > 0
+    with obs.trace(str(tmp_path / 'trace')):
+        np.asarray(f(a, a))
+    assert any((tmp_path / 'trace').rglob('*'))
+
+
 def test_task_progress_callback(tmp_path):
     """Eager-mode per-op progress (reference ProgressCallback shape)."""
     from lattisense_tpu.core.modring import gen_ntt_primes
