@@ -178,14 +178,21 @@ class CkksParams(FheParams):
         reference full-profile circuit quality (k=20, sine_deg=39,
         double_angle=3, arcsine) with 8 limbs (4 multiplicative levels)
         usable after bootstrap. That is ~66 bits over the reference's
-        N16QP1546 budget (≈ one security notch); recover parity by
-        dropping the arcsine (−4 limbs) or two spare levels.
+        N16QP1546 budget but inside the n=2^16 128-bit classical bound
+        used by production libraries (~1792; utils/security.py estimates
+        128-bit for this set). Drop the arcsine (−4 limbs) or two spare
+        levels to match the reference budget exactly.
         """
         from .core.modring import gen_ntt_primes
+        from .utils.security import check_security
         nq, npr = 48, 4
         primes = gen_ntt_primes(n, 31, nq + npr)
-        return cls(n, primes[:nq], primes[nq:], slots, float(1 << 30),
-                   word_bits=32)
+        out = cls(n, primes[:nq], primes[nq:], slots, float(1 << 30),
+                  word_bits=32)
+        # logQP ≈ 1612 sits inside the n=2^16 128-bit convention bound
+        # (~1792, utils/security.py); warn loudly if a resize breaks that
+        check_security(out, stacklevel=3)
+        return out
 
     def set_log_slots(self, log_slots: int):
         self.slots = 1 << log_slots

@@ -261,6 +261,14 @@ class BfvContext(FheContext):
             raise RuntimeError('cannot decrypt with a public context')
         return self.engine.decrypt_coeffs(self.sk, ct)
 
+    def noise_budget(self, ct) -> float:
+        """Remaining invariant-noise budget of ``ct`` in bits (SEAL
+        semantics: decryption is reliable while positive). Measurement
+        aid for level/parameter planning; requires the secret key."""
+        if self.sk is None:
+            raise RuntimeError('noise_budget requires the secret key')
+        return self.engine.noise_budget(self.sk, ct)
+
 
 class CkksContext(FheContext):
     engine_cls = CkksEngine

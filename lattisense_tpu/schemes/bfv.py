@@ -229,8 +229,8 @@ class BfvEngine:
         return Ciphertext(data=np.stack([cct.c0, ntt_mod.intt(np, a_ntt, ring)]),
                           level=cct.level)
 
-    def decrypt(self, sk, ct: Ciphertext) -> np.ndarray:
-        """→ plaintext poly mod t (n,) u64 (exact CRT + rounding)."""
+    def _decrypt_phase(self, sk, ct: Ciphertext):
+        """Σ_k c_k·s^k CRT-reconstructed to big ints: (X mod Q, Q)."""
         level = ct.level
         ring = self.ring(level)
         q_mods = self.q[:level + 1]
@@ -243,17 +243,41 @@ class BfvEngine:
             acc = _u.addmod(np, acc, term, ring.q)
             if k + 1 < ct.data.shape[0]:
                 s_pow = _u.mulmod(np, s_pow, s_ntt, ring.q, ring.pinv, ring.r2)
-        # CRT reconstruct to big ints, then m = round(t·x/Q) mod t
         Q = self.params.q_prod(level)
         X = np.zeros(self.n, dtype=object)
         for i, qi in enumerate(q_mods):
             Qi = Q // qi
             w = Qi * pow(Qi, -1, qi)
             X = X + acc[i].astype(object) * w
-        X = X % Q
+        return X % Q, Q
+
+    def decrypt(self, sk, ct: Ciphertext) -> np.ndarray:
+        """→ plaintext poly mod t (n,) u64 (exact CRT + rounding)."""
+        X, Q = self._decrypt_phase(sk, ct)
         m = np.array([((2 * self.t * int(x) + Q) // (2 * Q)) % self.t for x in X],
                      dtype=_U64)
         return m
+
+    def noise_budget(self, sk, ct: Ciphertext) -> float:
+        """Invariant-noise budget in bits (SEAL semantics): with
+        v = (t/Q)·[Σ c_k s^k]_Q − m the rational invariant noise, the
+        budget is −log2(2·‖v‖∞) = log2(Q / (2·‖t·X − Q·m‖∞)). Decryption
+        is reliable while the budget is positive; each BFV multiply
+        consumes a roughly constant number of bits. Debug/measurement
+        aid — requires the secret key (no reference analog; the
+        reference surfaces noise only as decryption failure)."""
+        import math
+        X, Q = self._decrypt_phase(sk, ct)
+        t = self.t
+        w_max = 0
+        for x in X:
+            m = ((2 * t * int(x) + Q) // (2 * Q)) % t
+            w = t * int(x) - Q * m                 # exact integer noise·Q
+            w = ((w + Q * t // 2) % (Q * t)) - Q * t // 2   # center mod Q·t
+            w_max = max(w_max, abs(w))
+        if w_max == 0:
+            return float(math.log2(Q) - 1.0)
+        return float(math.log2(Q) - 1.0 - math.log2(w_max))
 
     def decrypt_decode(self, sk, ct: Ciphertext) -> np.ndarray:
         return self.decode(self.decrypt(sk, ct))

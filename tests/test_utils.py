@@ -90,6 +90,58 @@ def test_task_progress_callback(tmp_path):
     assert calls[-1] == (len(task.plan), len(task.plan))
 
 
+def test_noise_budget_meter():
+    """BFV invariant-noise budget (SEAL semantics): positive on a fresh
+    ciphertext, strictly consumed by multiplication, and still positive
+    while decryption is exact."""
+    from lattisense_tpu.core.modring import gen_ntt_primes
+    from lattisense_tpu.params import BfvParams
+    from lattisense_tpu.runtime import BfvContext
+
+    n, t = 64, 65537
+    q = gen_ntt_primes(n, 50, 3)
+    p = gen_ntt_primes(n, 51, 1, exclude=tuple(q))
+    ctx = BfvContext.create_random_context(
+        BfvParams.create_custom(n, t, q, p), seed=5)
+    m = np.arange(n, dtype=np.uint64) % t
+    ct = ctx.encrypt(ctx.encode(m, 2))
+    b0 = ctx.noise_budget(ct)
+    assert b0 > 40, f'fresh budget too low: {b0:.1f}'
+    sq = ctx.mult_relin(ct, ct)
+    b1 = ctx.noise_budget(sq)
+    assert 0 < b1 < b0, (b0, b1)
+    np.testing.assert_array_equal(
+        ctx.decrypt_decode(sq), (m.astype(object) ** 2 % t).astype(np.uint64))
+
+
+def test_security_estimation():
+    import warnings
+
+    from lattisense_tpu.params import BfvParams, CkksParams
+    from lattisense_tpu.utils.security import (check_security, log_qp,
+                                               security_bits)
+
+    # the reference default production chains satisfy 128-bit security
+    for n in (8192, 16384):
+        assert security_bits(BfvParams.create(n)) >= 128, n
+    # an oversized toy chain misses every tier and warns
+    from lattisense_tpu.core.modring import gen_ntt_primes
+    q = gen_ntt_primes(1024, 50, 2)
+    p = gen_ntt_primes(1024, 51, 1, exclude=tuple(q))
+    bad = BfvParams.create_custom(1024, 65537, q, p)
+    assert log_qp(bad) > 100 and security_bits(bad) == 0
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter('always')
+        assert check_security(bad) == 0
+    assert any('128-bit' in str(w.message) for w in rec)
+    # the TPU bootstrap profile (48+4 x 31-bit, logQP ~ 1612) sits inside
+    # the n=2^16 128-bit convention bound (~1792) — factory stays silent
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter('always')
+        tier = security_bits(CkksParams.create_tpu_btp_param(65536))
+    assert tier >= 128 and not any('security' in str(w.message) for w in rec)
+
+
 def test_eval_op_error_paths():
     """Descriptive errors on invalid eager ops (reference REQUIRE_THROWS
     coverage, test_lattigo.cpp:2049-2119)."""
