@@ -10,6 +10,7 @@ from .logistic import LogisticRegressionScore
 from .distance import PackedEuclideanDistance
 from .polynomial import PolynomialEvaluator
 from .convolution import PackedConv2d
+from .matvec import EncryptedMatVec
 
 __all__ = ['LogisticRegressionScore', 'PackedEuclideanDistance',
-           'PolynomialEvaluator', 'PackedConv2d']
+           'PolynomialEvaluator', 'PackedConv2d', 'EncryptedMatVec']

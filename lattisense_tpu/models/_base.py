@@ -16,6 +16,11 @@ class FheModel:
     def required_rotations(self):
         return []
 
+    def required_galois_elements(self):
+        """Direct Galois-element keys (advanced rotations); subclasses
+        using `advanced_rotate_cols` list them here."""
+        return []
+
     def compile(self, task_dir: str | None = None):
         """Build the graph and serialize the task contract."""
         from ..frontend import custom_task as ct
@@ -35,4 +40,7 @@ class FheModel:
         rots = self.required_rotations()
         if rots:
             context.gen_rotation_keys_for_rotations(rots)
+        elts = self.required_galois_elements()
+        if elts:
+            context.gen_galois_keys_for_elements(elts)
         return FheTaskTpu(self.task_dir, **task_kwargs)

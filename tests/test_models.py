@@ -92,3 +92,38 @@ def test_polynomial_model(degree):
     x = xv.astype(object)
     exp = sum(c * x ** i for i, c in enumerate(coeffs)) % params.t
     np.testing.assert_array_equal(got, exp)
+
+
+def test_encrypted_matvec_model(ckks_ctx, tmp_path):
+    """BSGS diagonal y = A·x over all slots (hoisted baby rotations +
+    fused cmp_sum MACs per giant step)."""
+    from lattisense_tpu.models import EncryptedMatVec
+    fe, ctx = ckks_ctx
+    s = fe.slots
+    rng = np.random.default_rng(3)
+    A = rng.uniform(-1, 1, (s, s))
+    m = EncryptedMatVec(fe, A, level=2)
+    task = m.load(ctx)
+    xv = rng.uniform(-1, 1, s)
+    outputs, _ = task.run(ctx, m.pack_inputs(ctx, xv))
+    got = m.decode_output(ctx, outputs)
+    np.testing.assert_allclose(got, A @ xv, atol=5e-3)
+
+
+def test_encrypted_matvec_sparse_diagonals(ckks_ctx):
+    """Zero diagonals are dropped from the graph (banded matrices cost
+    proportionally fewer MACs and keys)."""
+    from lattisense_tpu.models import EncryptedMatVec
+    fe, ctx = ckks_ctx
+    s = fe.slots
+    rng = np.random.default_rng(4)
+    A = np.zeros((s, s))
+    k = np.arange(s)
+    for d in (0, 1, 5):                     # three diagonals only
+        A[k, (k + d) % s] = rng.uniform(-1, 1, s)
+    m = EncryptedMatVec(fe, A, level=2)
+    task = m.load(ctx)
+    xv = rng.uniform(-1, 1, s)
+    outputs, _ = task.run(ctx, m.pack_inputs(ctx, xv))
+    np.testing.assert_allclose(m.decode_output(ctx, outputs), A @ xv,
+                               atol=5e-3)
