@@ -54,7 +54,9 @@ def main():
 
     n = args.n
     q = gen_ntt_primes(n, 50, args.limbs + 1)
-    p = gen_ntt_primes(n, 51, 1, exclude=tuple(q))
+    # 4 special primes so key arrays stay divisible under 2/4-way limb
+    # sharding (the limb-TP points below shard the key limb axis too)
+    p = gen_ntt_primes(n, 51, 4, exclude=tuple(q))
     params = BfvParams.create_custom(n, 65537, q, p)
     ctx = BfvContext.create_random_context(params, seed=7)
     level = args.limbs
@@ -94,6 +96,38 @@ def main():
         print(f'devices={d}: {results[d]:10.1f} ops/s  '
               f'(scaling efficiency {eff:5.1f}%)', flush=True)
         d *= 2
+
+    # limb-TP latency scaling: ONE op's RNS limbs sharded over the limb
+    # axis (the single-ciphertext-across-chips axis; meaningful on real
+    # ICI — on the virtual mesh it validates the harness)
+    B = args.per_device_batch
+    for limb in (1, 2, 4):
+        if limb > n_dev or (level + 1) % limb:
+            continue
+        mesh = make_mesh(op=1, limb=limb, devices=jax.devices()[:limb])
+        fn = make_batched_step(ctx.engine, bfv_mult_relin, level, mesh=mesh,
+                               limb_sharded=(limb > 1), n_inputs=2)
+        a = shard(mesh, np.tile(c0.data[None], (B, 1, 1, 1)),
+                  ct_batch_spec(limb > 1))
+        b = shard(mesh, np.tile(c1.data[None], (B, 1, 1, 1)),
+                  ct_batch_spec(limb > 1))
+        from lattisense_tpu.parallel.mesh import key_spec
+        keys = jax.tree.map(lambda k: jax.device_put(
+            k, NamedSharding(mesh, key_spec(limb > 1))), key_tree(ctx))
+        np.asarray(fn(a, b, keys)).ravel()[:2]
+
+        def run_tp(k):
+            t0 = time.perf_counter()
+            x = a
+            for _ in range(k):
+                x = fn(x, b, keys)
+            np.asarray(x).ravel()[:2]
+            return time.perf_counter() - t0
+
+        run_tp(2)
+        t1, t2 = run_tp(4), run_tp(8)
+        ms = (t2 - t1) / 4 / B * 1e3
+        print(f'limb-TP x{limb}: {ms:8.2f} ms/op latency', flush=True)
 
 
 if __name__ == '__main__':
