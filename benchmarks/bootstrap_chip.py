@@ -10,7 +10,8 @@ from lattisense_tpu.runtime import CkksBtpContext
 from lattisense_tpu.schemes.bootstrap import BootstrapConfig
 from lattisense_tpu.core.modring import gen_ntt_primes
 
-mode = sys.argv[1] if len(sys.argv) > 1 else 'smoke'
+mode = (sys.argv[1] if len(sys.argv) > 1
+        and not sys.argv[1].startswith('--') else 'smoke')
 t0 = time.time()
 if mode == 'smoke':
     N = 256
@@ -51,6 +52,13 @@ print(f'host path err {host_err:.2e}', flush=True)
 rlk_d = jax.device_put(ctx.rlk)
 glk_d = jax.device_put(ctx.glk.keys)
 
+# --batch B: vmap every segment over a leading batch axis — bootstrap
+# THROUGHPUT (ops/s) instead of single-op latency; the per-segment
+# programs amortize their fixed costs across the batch.
+BATCH = 0
+if '--batch' in sys.argv:
+    BATCH = int(sys.argv[sys.argv.index('--batch') + 1])
+
 jits = []
 for (name, fn), meta in zip(segs, metas):
     def make(fn, meta):
@@ -59,11 +67,13 @@ for (name, fn), meta in zip(segs, metas):
                         for d, m in zip(datas, meta))
             out = fn(jnp, cts, rlk_d, glk_d)
             return tuple(c.data for c in out)
-        return jax.jit(g)
+        return jax.jit(jax.vmap(g) if BATCH else g)
     jits.append((name, make(fn, meta)))
 
 # compile + first run, segment by segment
-datas = (jax.device_put(np.asarray(ct0.data)),)
+ct0_data = (np.tile(np.asarray(ct0.data)[None], (BATCH, 1, 1, 1))
+            if BATCH else np.asarray(ct0.data))
+datas = (jax.device_put(ct0_data),)
 t_all0 = time.time()
 for name, g in jits:
     tseg = time.time()
@@ -73,7 +83,7 @@ for name, g in jits:
 print(f'total compile+first run {time.time()-t_all0:.0f}s', flush=True)
 
 def run_once():
-    ds = (jax.device_put(np.asarray(ct0.data)),)
+    ds = (jax.device_put(ct0_data),)
     for _, g in jits:
         ds = g(*ds)
     np.asarray(ds[0].ravel()[:2])
@@ -88,9 +98,14 @@ for _ in range(k):
     out = run_once()
 t1 = time.perf_counter()
 ms = (t1 - t0) / k * 1e3
-print(f'bootstrap on chip ({mode}, chunked): {ms:.1f} ms/op', flush=True)
+if BATCH:
+    print(f'bootstrap on chip ({mode}, chunked, batch={BATCH}): '
+          f'{ms / BATCH:.1f} ms/op ({BATCH / (ms / 1e3):.2f} ops/s)',
+          flush=True)
+else:
+    print(f'bootstrap on chip ({mode}, chunked): {ms:.1f} ms/op', flush=True)
 
-got = np.asarray(out[0])
+got = np.asarray(out[0])[0] if BATCH else np.asarray(out[0])
 fresh = Ciphertext(data=got, level=host_out.level, is_ntt=True, scale=host_out.scale)
 err = np.max(np.abs(ctx.decrypt_decode(fresh).real - msg))
 print(f'device-path precision: {err:.2e}', flush=True)

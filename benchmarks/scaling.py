@@ -54,9 +54,7 @@ def main():
 
     n = args.n
     q = gen_ntt_primes(n, 50, args.limbs + 1)
-    # 4 special primes so key arrays stay divisible under 2/4-way limb
-    # sharding (the limb-TP points below shard the key limb axis too)
-    p = gen_ntt_primes(n, 51, 4, exclude=tuple(q))
+    p = gen_ntt_primes(n, 51, 1, exclude=tuple(q))
     params = BfvParams.create_custom(n, 65537, q, p)
     ctx = BfvContext.create_random_context(params, seed=7)
     level = args.limbs
@@ -99,21 +97,30 @@ def main():
 
     # limb-TP latency scaling: ONE op's RNS limbs sharded over the limb
     # axis (the single-ciphertext-across-chips axis; meaningful on real
-    # ICI — on the virtual mesh it validates the harness)
+    # ICI — on the virtual mesh it validates the harness). Separate
+    # context with 4 special primes so key arrays stay divisible under
+    # 2/4-way limb sharding — a heavier key switch than the op-loop
+    # workload above, so the two sections' numbers are not comparable.
+    p4 = gen_ntt_primes(n, 51, 4, exclude=tuple(q))
+    ctx_tp = BfvContext.create_random_context(
+        BfvParams.create_custom(n, 65537, q, p4), seed=7)
+    c0t = ctx_tp.encrypt(ctx_tp.encode(msg[0], level))
+    c1t = ctx_tp.encrypt(ctx_tp.encode(msg[1], level))
     B = args.per_device_batch
     for limb in (1, 2, 4):
         if limb > n_dev or (level + 1) % limb:
             continue
         mesh = make_mesh(op=1, limb=limb, devices=jax.devices()[:limb])
-        fn = make_batched_step(ctx.engine, bfv_mult_relin, level, mesh=mesh,
-                               limb_sharded=(limb > 1), n_inputs=2)
-        a = shard(mesh, np.tile(c0.data[None], (B, 1, 1, 1)),
+        fn = make_batched_step(ctx_tp.engine, bfv_mult_relin, level,
+                               mesh=mesh, limb_sharded=(limb > 1),
+                               n_inputs=2)
+        a = shard(mesh, np.tile(c0t.data[None], (B, 1, 1, 1)),
                   ct_batch_spec(limb > 1))
-        b = shard(mesh, np.tile(c1.data[None], (B, 1, 1, 1)),
+        b = shard(mesh, np.tile(c1t.data[None], (B, 1, 1, 1)),
                   ct_batch_spec(limb > 1))
         from lattisense_tpu.parallel.mesh import key_spec
         keys = jax.tree.map(lambda k: jax.device_put(
-            k, NamedSharding(mesh, key_spec(limb > 1))), key_tree(ctx))
+            k, NamedSharding(mesh, key_spec(limb > 1))), key_tree(ctx_tp))
         np.asarray(fn(a, b, keys)).ravel()[:2]
 
         def run_tp(k):

@@ -39,11 +39,16 @@ class EncryptedMatVec(FheModel):
         self.level = level
         self.n1 = n1 or (1 << max(0, math.isqrt(s).bit_length() - 1))
         self.n2 = -(-s // self.n1)
+        # one pass over the matrix: pre-rotated nonzero diagonals
+        self._diags = {d: v for d in range(s)
+                       if np.any(v := self._diag(d))}
+        if not self._diags:
+            raise ValueError('matrix has no nonzero diagonals')
 
     # rotation steps needing direct Galois keys (zero diagonals of banded
     # matrices cost neither rotations nor keys)
     def _nonzero_diags(self):
-        return [d for d in range(self.slots) if np.any(self._diag(d))]
+        return list(self._diags)
 
     def baby_steps(self):
         return sorted({d % self.n1 for d in self._nonzero_diags()} - {0})
@@ -70,10 +75,9 @@ class EncryptedMatVec(FheModel):
         x = ct.CkksCiphertextNode('x', self.level)
         pts = {}
         ins = [ct.Argument('x', x)]
-        for d in range(self.slots):
-            if np.any(self._diag(d)):
-                pts[d] = ct.CkksPlaintextRingtNode(id=f'diag{d}')
-                ins.append(ct.Argument(f'diag{d}', pts[d]))
+        for d in self._nonzero_diags():
+            pts[d] = ct.CkksPlaintextRingtNode(id=f'diag{d}')
+            ins.append(ct.Argument(f'diag{d}', pts[d]))
 
         # hoist only the baby rotations some nonzero diagonal consumes
         used = sorted({d % self.n1 for d in pts} - {0})
@@ -103,10 +107,8 @@ class EncryptedMatVec(FheModel):
 
     def pack_inputs(self, context, xv):
         out = {'x': context.encrypt(context.encode(xv, self.level))}
-        for d in range(self.slots):
-            v = self._diag(d)
-            if np.any(v):
-                out[f'diag{d}'] = context.encode_ringt(v)
+        for d, v in self._diags.items():
+            out[f'diag{d}'] = context.encode_ringt(v)
         return out
 
     def decode_output(self, context, outputs):

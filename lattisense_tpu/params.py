@@ -74,6 +74,21 @@ class FheParams:
                      self.word_bits))
 
 
+def _recut31_capped(log_q: int, log_p: int) -> tuple[int, int]:
+    """Split a logQP budget into 31-bit limb counts WITHOUT exceeding it:
+    total limbs are floored into the budget, so the re-cut chain's security
+    tier can never drop below the source chain's (the HE-standard tables
+    bound TOTAL modulus bits — a ceiling re-cut overshoots them by up to
+    60 bits, utils/security.py). The q/p split keeps the source chain's
+    proportion; on 31-bit words the hybrid key-switch digit size equals
+    |P| by construction (keys.py alpha = len(p)), so P ≈ digit product and
+    the noise contract holds for any npr — npr is purely the
+    digits-vs-carried-limbs performance knob (benchmarks/alpha_sweep.py)."""
+    total = (log_q + log_p) // 31
+    npr = max(1, min(total - 1, round(total * log_p / (log_q + log_p))))
+    return total - npr, npr
+
+
 class BfvParams(FheParams):
     algo = 'BFV'
 
@@ -102,23 +117,35 @@ class BfvParams(FheParams):
         which pins hardware-word-sized prime chains for the same reason
         (frontend/custom_task.py:215 create_fpga_parameter).
 
-        Same n / t / logQP budget => same security and multiplicative
-        capability class as the default chain; only the RNS word changes.
+        The limb counts are FLOORED into the default chain's logQP budget
+        (never over it — the standard security tables bound total modulus
+        bits), with P kept >= the default chain's special-prime bits (the
+        key-switch noise contract); q takes the remainder.
         """
         entry = _load_table()['BFV'][str(n)]
-        return cls.create_tpu_custom(
-            n, t if t is not None else entry['t'],
-            log_q=sum(int(x).bit_length() for x in entry['q']),
-            log_p=sum(int(x).bit_length() for x in entry['p']))
+        nq, npr = _recut31_capped(
+            sum(int(x).bit_length() for x in entry['q']),
+            sum(int(x).bit_length() for x in entry['p']))
+        from .core.modring import gen_ntt_primes
+        primes = gen_ntt_primes(n, 31, nq + npr)
+        return cls(n, t if t is not None else entry['t'],
+                   primes[:nq], primes[nq:], word_bits=32)
 
     @classmethod
     def create_tpu_custom(cls, n: int, t: int, log_q: int,
                           log_p: int) -> 'BfvParams':
+        """31-bit chain meeting the requested budgets as MINIMUMS (limb
+        counts are ceiled, so logQP may exceed log_q+log_p by up to 60
+        bits); warns when that overshoots the ring's 128-bit table row —
+        use create_tpu_param for the security-classed profile."""
         from .core.modring import gen_ntt_primes
+        from .utils.security import check_security
         nq = -(-log_q // 31)
         npr = max(1, -(-log_p // 31))
         primes = gen_ntt_primes(n, 31, nq + npr)
-        return cls(n, t, primes[:nq], primes[nq:], word_bits=32)
+        out = cls(n, t, primes[:nq], primes[nq:], word_bits=32)
+        check_security(out, stacklevel=3)
+        return out
 
     def delta(self, level: int) -> int:
         """Δ_ℓ = floor(Q_ℓ / t) — BFV plaintext scaling at level ℓ."""
@@ -154,13 +181,14 @@ class CkksParams(FheParams):
         into 31-bit NTT primes with word_bits=32 and scale ≈ 2^30 (rescale
         prime size). Mirrors the reference's CKKS FPGA profile, which pins
         31-bit q chains and a 2^31 scale for the hardware word
-        (frontend/custom_task.py:273 CkksParam.create_fpga_param)."""
+        (frontend/custom_task.py:273 CkksParam.create_fpga_param). Limb
+        counts are floored into the default chain's logQP budget (see
+        BfvParams.create_tpu_param)."""
         from .core.modring import gen_ntt_primes
         entry = _load_table()['CKKS'][str(n)]
-        log_q = sum(int(x).bit_length() for x in entry['q'])
-        log_p = sum(int(x).bit_length() for x in entry['p'])
-        nq = -(-log_q // 31)
-        npr = max(1, -(-log_p // 31))
+        nq, npr = _recut31_capped(
+            sum(int(x).bit_length() for x in entry['q']),
+            sum(int(x).bit_length() for x in entry['p']))
         primes = gen_ntt_primes(n, 31, nq + npr)
         return cls(n, primes[:nq], primes[nq:],
                    slots or entry.get('slots'), float(1 << 30), word_bits=32)

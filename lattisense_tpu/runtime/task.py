@@ -37,6 +37,7 @@ from . import check_sig
 
 _KEY_TYPES = ('rlk', 'glk', 'swk')
 _log = logging.getLogger(__name__)
+_HOST_POOL = None          # shared partitioned-mode host-executor pool
 
 
 class _Node:
@@ -116,19 +117,21 @@ class FheTaskTpu:
         self._build_plan()
         self._jitted = None
         self._out_scales: dict = {}
-        self._pool = None
 
-    def _host_pool(self):
-        """Lazy thread pool for host (custom) executors in partitioned mode
-        — the reference's CPU bridge pool (min(16,hw)-2 workers,
-        gpu_wrapper.cu:157-172) that lets host work overlap backend
-        execution."""
-        if self._pool is None:
+    @staticmethod
+    def _host_pool():
+        """Shared process-wide thread pool for host (custom) executors in
+        partitioned mode — the reference's CPU bridge pool (min(16,hw)-2
+        workers, gpu_wrapper.cu:157-172) that lets host work overlap
+        backend execution. Module-level so many task objects don't each
+        pin worker threads."""
+        global _HOST_POOL
+        if _HOST_POOL is None:
             from concurrent.futures import ThreadPoolExecutor
-            self._pool = ThreadPoolExecutor(
-                max_workers=max(1, min(16, os.cpu_count() or 1) - 2),
+            _HOST_POOL = ThreadPoolExecutor(
+                max_workers=max(2, min(16, os.cpu_count() or 1) - 2),
                 thread_name_prefix='lattisense-host')
-        return self._pool
+        return _HOST_POOL
 
     # ------------------------------------------------------------------
     # Plan construction (load-time executor binding, reference parity:
@@ -651,11 +654,13 @@ class FheTaskTpu:
                             # happens in the worker, off the dispatch path
                             sub[i] = jax.tree.map(np.asarray, v)
                         _step(sub, np, _keys)
+                        vals = {o: sub[o] for o in _outs}   # all-or-nothing
                         for o, f in _outs.items():
-                            f.set_result(sub[o])
+                            f.set_result(vals[o])
                     except BaseException as e:
                         for f in _outs.values():
-                            f.set_exception(e)
+                            if not f.done():    # never mask the real error
+                                f.set_exception(e)
                         raise
 
                 host_jobs.append(self._host_pool().submit(host_job))

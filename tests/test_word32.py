@@ -154,12 +154,17 @@ def test_mult_relin_device_bit_exact(ctx_pair):
 
 
 def test_tpu_param_factory():
+    from lattisense_tpu.utils.security import log_qp, security_bits
     p = BfvParams.create_tpu_param(16384)
     assert p.word_bits == 32
     assert all(q < (1 << 31) for q in p.q + p.p)
     assert all((q - 1) % (2 * 16384) == 0 for q in p.q + p.p)
     ref = BfvParams.create(16384)
-    assert sum(q.bit_length() for q in p.q) >= sum(q.bit_length() for q in ref.q)
+    # security-classed: logQP floored INTO the default budget (never over
+    # the standard table), at >= the default chain's level capability
+    assert log_qp(p) <= log_qp(ref)
+    assert security_bits(p) >= security_bits(ref) >= 128
+    assert len(p.q) >= len(ref.q)
     assert p.t == ref.t
 
 
@@ -326,11 +331,16 @@ def test_ksw_switch32_bit_exact(output_ntt):
 
 def test_ckks_tpu_param_factory():
     from lattisense_tpu.params import CkksParams
+    from lattisense_tpu.utils.security import log_qp, security_bits
     p = CkksParams.create_tpu_param(4096)
     assert p.word_bits == 32
     assert all(q < (1 << 31) for q in p.q + p.p)
     ref = CkksParams.create(4096)
-    assert sum(q.bit_length() for q in p.q) >= sum(q.bit_length() for q in ref.q)
+    assert log_qp(p) <= log_qp(ref) and security_bits(p) >= 128
+    assert p.max_level >= 1                  # still multiplication-capable
+    p16 = CkksParams.create_tpu_param(16384)
+    assert security_bits(p16) >= 128
+    assert len(p16.q) >= len(CkksParams.create(16384).q)
 
 
 @pytest.fixture(scope='module')
