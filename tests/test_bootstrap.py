@@ -268,6 +268,17 @@ def test_bootstrap_w32_composite_scale():
         errs[arc] = np.max(np.abs(ctx.decrypt_decode(fresh).real - msg))
     assert errs[False] < 5e-4, f'w32 bootstrap err {errs[False]:.2e}'
     assert errs[True] < 2e-5, f'w32 arcsine bootstrap err {errs[True]:.2e}'
+    # input-SNR bound: part of the floor above is the INPUT ciphertext's
+    # own noise (≈c·n·σ/Δ_in, measured stage-clean to 1e-13 — NOTES.md
+    # session 5); encoding the bootstrap input at 2^40 removes that
+    # component. At n=256 other floors bind near 2e-6 so the gain here
+    # is ~2x (measured 1.96e-6 vs 4.24e-6); at n=4096 it is 843x
+    # (4.5e-5 → 5.3e-8) and grows with n.
+    ct40 = ctx.encrypt(ctx.engine.encode(msg, 1, float(1 << 40)))
+    fresh40 = ctx.bootstrap(ct40)
+    err40 = np.max(np.abs(ctx.decrypt_decode(fresh40).real - msg))
+    assert err40 < errs[True] * 0.75, \
+        f'scale-2^40 input should beat the input-SNR floor: {err40:.2e}'
 
 
 @pytest.mark.skipif(os.environ.get('LATTISENSE_HEAVY_TESTS', '') == '',
@@ -276,7 +287,15 @@ def test_bootstrap_w32_composite_scale():
 def test_bootstrap_w32_full_size():
     """Full-size TPU-native bootstrap: n=2^16 on the 31-bit chain
     (create_tpu_btp_param), reference full-profile circuit quality
-    (k=20, sine_deg=39, arcsine)."""
+    (k=20, sine_deg=39, arcsine).
+
+    The input is encoded at scale 2^40: bootstrap output precision is
+    bounded by the INPUT ciphertext's own SNR (err ≈ c·n·σ/Δ_in,
+    ratio/amplitude/h-independent — measured by the session-5 probes:
+    every homomorphic stage is clean to ~1e-13; the floor at the default
+    Δ=2^30 is the input noise √n-amplified by SlotsToCoeffs). At Δ=2^40
+    the pipeline itself binds. Measured 2026-08-18: n=4096 4.5e-5 @
+    2^30 → 5.3e-8 @ 2^40 (843x)."""
     params = CkksParams.create_tpu_btp_param(65536)
     cfg = BootstrapConfig(cts_depth=3, stc_depth=3, k=20, sine_deg=39,
                           double_angle=3, message_ratio=8.0, arcsine=True)
@@ -284,7 +303,8 @@ def test_bootstrap_w32_full_size():
                                                btp_config=cfg)
     rng = np.random.default_rng(7)
     msg = rng.uniform(-1, 1, params.slots)
-    fresh = ctx.bootstrap(ctx.encrypt(ctx.encode(msg, 1)))
+    ct = ctx.encrypt(ctx.engine.encode(msg, 1, float(1 << 40)))
+    fresh = ctx.bootstrap(ct)
     err = np.max(np.abs(ctx.decrypt_decode(fresh).real - msg))
     assert fresh.level >= 8, f'too few limbs left ({fresh.level})'
     assert err < 5e-4, f'w32 full-size bootstrap err {err:.2e}'
