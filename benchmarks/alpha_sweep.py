@@ -5,9 +5,9 @@ beta = ceil((L+1)/alpha) digits; each digit is lifted to Q_l u P
 (T = L+1+alpha limbs) and NTT'd, so the dominant mod-up/NTT row count is
 beta*T while the gadget inner product sums beta terms over T rows:
 
-    alpha=2: beta=4, rows 40   (the create_tpu_param default at L=7)
+    alpha=2: beta=4, rows 40
     alpha=3: beta=3, rows 33
-    alpha=4: beta=2, rows 24
+    alpha=4: beta=2, rows 24   (the create_tpu_param default at L=7)
 
 Larger alpha trades fewer digits (less NTT + inner-product work) against
 more special-prime limbs carried through every key-switch tail (mod-down

@@ -22,9 +22,12 @@ The bit-reversed slot order introduced by step 2 is consumed exactly by
 step 4 — no homomorphic permutation is ever applied (special_fft.py).
 """
 
+import logging
 from dataclasses import dataclass
 
 import numpy as np
+
+_log = logging.getLogger(__name__)
 
 from .linear_transform import EncodedLinearTransform
 from .poly_eval import ChebyshevEvaluator, chebyshev_interpolate
@@ -292,6 +295,25 @@ class CkksBootstrapper:
                                        target_scale=v3.scale)
         return eng.add(xp, v3, base)
 
+    def _check_input_snr(self, ct):
+        """Bootstrap output precision is bounded by the INPUT ciphertext's
+        own SNR: err ≈ c·n·σ/scale, message_ratio-independent (the
+        pipeline refreshes the noise along with the message and StC
+        amplifies it √n — measured, NOTES.md session 5). Warn once when
+        that floor exceeds ~1e-5 so users encode bootstrap-bound data at
+        a higher scale (2^40 recommended; doc/performance_guide.md)."""
+        if getattr(self, '_snr_warned', False):
+            return
+        n = self.engine.params.n
+        floor = 2.0 * n * 3.2 / float(ct.scale)
+        if floor > 1e-5:
+            self._snr_warned = True
+            _log.warning(
+                'bootstrap input scale %.1e caps output precision at '
+                '~%.0e (input-SNR bound ~ n*sigma/scale); encode '
+                'bootstrap-bound ciphertexts at a higher scale (e.g. '
+                '2^40) for pipeline-limited precision', ct.scale, floor)
+
     # ------------------------------------------------------------------
     def segments(self, caller_scale: float, swk_dts=None, swk_std=None):
         """The bootstrap as a list of (name, fn) with
@@ -413,6 +435,7 @@ class CkksBootstrapper:
         """With swk_dts/swk_std (reference two-secret design): hop onto the
         sparse bootstrap secret for the mod-raise (small |I|), then back to
         the dense evaluation secret before the linear transforms."""
+        self._check_input_snr(ct)
         eng = self.engine
         base = self.step - 1
         if ct.level != base:
