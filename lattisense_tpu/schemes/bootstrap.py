@@ -169,9 +169,22 @@ class CkksBootstrapper:
             return np.cos(2 * np.pi * (K2r * y - 0.25) / 2 ** r)
 
         a = 1.0 / 2 ** (r + 1)
+        coeffs = chebyshev_interpolate(f, -a, a, cfg.sine_deg)
+        # underfit guardrail: deg-39 fits k=20 to ~1e-13, but a larger K
+        # widens the oscillation count and the SAME degree silently
+        # degrades (measured: k=28 @ deg 39 → 2.4e-4 output, a 5x
+        # regression that looks like noise). Check the fit on a grid.
+        grid = np.linspace(-a, a, 512)
+        fit = np.polynomial.chebyshev.chebval(grid / a, coeffs)
+        resid = float(np.max(np.abs(fit - f(grid))))
+        if resid > 1e-9:
+            _log.warning(
+                'EvalMod sine fit residual %.1e at sine_deg=%d, k=%d — '
+                'raise sine_deg (the truncation error is SYSTEMATIC and '
+                'SlotsToCoeffs amplifies it up to n/2)', resid,
+                cfg.sine_deg, cfg.k)
         self.evalmod = ChebyshevEvaluator(
-            engine, chebyshev_interpolate(f, -a, a, cfg.sine_deg), -1.0, 1.0,
-            pre_normalized=True, limb_step=st)
+            engine, coeffs, -1.0, 1.0, pre_normalized=True, limb_step=st)
         # steer CoeffsToSlots' output exactly onto the evaluator's planned
         # entry scale (anchored at em_scale) — the evaluator then enters
         # on-plan with zero extra levels and its doublings stay inside the
