@@ -54,7 +54,12 @@ def main():
     rng = np.random.default_rng(0)
     msg = rng.uniform(-1, 1, ctx.params.slots)
     base = ctx.engine.bootstrapper.step - 1
-    ct = ctx.encrypt(ctx.encode(msg, base))       # exhausted (base level)
+    # Encode bootstrap-bound data at a HIGH scale: output precision is
+    # bounded by the input ciphertext's own SNR (~n·σ/scale, see
+    # doc/performance_guide.md §6) — on 31-bit chains the stationary
+    # 2^30 scale would cap large-ring precision; 2^40 is pipeline-limited.
+    in_scale = float(1 << 40) if w32 else params.scale
+    ct = ctx.encrypt(ctx.engine.encode(msg, base, in_scale))  # exhausted
     print(f'input level: {ct.level} (no multiplies left)')
 
     fresh = ctx.bootstrap(ct)
