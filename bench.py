@@ -193,13 +193,15 @@ def main():
     _emit('bfv_mult_relin_n16384_L3_ops_per_s_per_chip', ops_s, 'ops/s',
           vs('bfv_mult_relin', ops_s))
 
-    # ---- headline (printed last): BFV mult_relin, TPU-native 31-bit word ---
-    # Same operation at equal-or-greater logQ (>= security, same t) on the
+    # ---- TPU-native 31-bit-word scenarios -----------------------------------
+    # Same operations at equal-or-greater logQ (>= security, same t) on the
     # 31-bit prime chains the hardware word favors (params.create_tpu_param;
     # the reference's FPGA backend pins narrow chains for the same reason,
     # frontend/custom_task.py:215). vs_baseline is the SAME host-native u64
-    # baseline — each platform on its natural parameterization.
-    _note('device: BFV mult_relin w32 (keygen)')
+    # baseline — each platform on its natural parameterization. The BFV
+    # mult_relin w32 HEADLINE prints LAST (the driver parses the final
+    # JSON line as the round's headline metric).
+    _note('device: w32 staging (keygen)')
     logq_l3 = sum(q.bit_length() for q in bp.q[:level + 1])
     bp32 = BfvParams.create_tpu_param(16384)
     lvl32 = 0
@@ -211,12 +213,25 @@ def main():
     a32 = jax.device_put(np.stack([c.data for c in c32[:batch]]))
     b32 = jax.device_put(np.stack([c.data for c in c32[batch:]]))
     k32 = jax.device_put(key_tree(bctx32))
-    _note('device: BFV mult_relin w32 (compile)')
-    fn32 = make_batched_step(bctx32.engine, bfv_mult_relin, lvl32, n_inputs=2)
-    np.asarray(fn32(a32, b32, k32))
-    ops_s = _slope(fn32, a32, (b32, k32), batch)
-    _emit(f'bfv_mult_relin_n16384_logQ{logq_l3}_w32_ops_per_s_per_chip',
-          ops_s, 'ops/s', vs('bfv_mult_relin', ops_s))
+
+    # ---- BFV rotate_col, TPU-native 31-bit word ----------------------------
+    # (rotation = Galois permutation + key switch: NTT-row-bound, where the
+    # 31-bit word pays off most; same u64 host baseline convention)
+    if budget_left():
+        _note('device: BFV rotate_col w32 (compile)')
+        bctx32.gen_galois_keys_for_elements([galois_elt_col(1, bp32.n)])
+        elt32 = galois_elt_col(1, bp32.n)
+        k32r = jax.device_put(key_tree(bctx32, galois_elts=[elt32]))
+
+        def rot32_step(engine, x, keys):
+            return engine.apply_galois(jnp, x, elt32, keys['glk'][elt32])
+
+        fr32 = make_batched_step(bctx32.engine, rot32_step, lvl32,
+                                 n_inputs=1)
+        np.asarray(fr32(a32, k32r))
+        ops_s = _slope(fr32, a32, (k32r,), batch)
+        _emit('bfv_rotate_col_n16384_w32_ops_per_s_per_chip', ops_s, 'ops/s',
+              vs('bfv_rotate', ops_s))
 
     # ---- CKKS mult_relin_rescale, TPU-native 31-bit word -------------------
     # (reference's CKKS FPGA profile analog: 31-bit chain + hardware-word
@@ -249,6 +264,14 @@ def main():
         ops_s = batch / ((t2 - t1) / 8)
         _emit('ckks_mult_relin_rescale_n16384_w32_ops_per_s_per_chip', ops_s,
               'ops/s', vs('ckks_mult_relin_rescale', ops_s))
+
+    # ---- HEADLINE (printed last): BFV mult_relin, TPU-native 31-bit word ---
+    _note('device: BFV mult_relin w32 (compile)')
+    fn32 = make_batched_step(bctx32.engine, bfv_mult_relin, lvl32, n_inputs=2)
+    np.asarray(fn32(a32, b32, k32))
+    ops_s = _slope(fn32, a32, (b32, k32), batch)
+    _emit(f'bfv_mult_relin_n16384_logQ{logq_l3}_w32_ops_per_s_per_chip',
+          ops_s, 'ops/s', vs('bfv_mult_relin', ops_s))
 
 
 if __name__ == '__main__':

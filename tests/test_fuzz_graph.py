@@ -9,6 +9,8 @@ and reuse patterns real graphs produce (the reference's power-DAG tests,
 hand-picked subset of this space). BFV, so every comparison is bit-exact.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -90,7 +92,14 @@ def _random_program(rng, tmp_path):
     return str(tmp_path), msgs, out_m.astype(np.uint64)
 
 
-@pytest.mark.parametrize('seed', range(6))
+# widen the seed pool in the slow tier (LATTISENSE_FUZZ_SEEDS overrides)
+_N_SEEDS = int(os.environ.get(
+    'LATTISENSE_FUZZ_SEEDS',
+    '24' if os.environ.get('LATTISENSE_SLOW_TESTS', '') not in ('', '0')
+    else '6'))
+
+
+@pytest.mark.parametrize('seed', range(_N_SEEDS))
 def test_random_program_jit_vs_eager_vs_plain(setup, tmp_path, seed):
     fe_param, context = setup
     ct.set_fhe_param(fe_param)
@@ -185,7 +194,7 @@ def _random_ckks_program(rng, tmp_path):
     return str(tmp_path), vals, expected
 
 
-@pytest.mark.parametrize('seed', range(4))
+@pytest.mark.parametrize('seed', range(max(1, _N_SEEDS * 2 // 3)))
 def test_random_ckks_program_jit_vs_eager_vs_plain(ckks_setup, tmp_path,
                                                    seed):
     fe_param, context = ckks_setup
