@@ -1,0 +1,49 @@
+#!/bin/bash
+# Serial chip-measurement queue with tunnel-wait.
+#
+# The single-chip axon tunnel is single-client and can wedge for 30+ min
+# after contention (NOTES.md round-2 session 4); this runner polls health
+# with a hard-killed probe every ~9 min and, once the backend answers,
+# runs the queued measurements STRICTLY serially (one python process per
+# program — overlapping remote compiles degrade both):
+#
+#   1. bench.py                      — driver-format scenario confirm
+#   2. benchmarks/alpha_sweep.py     — key-switch digit-size throughput
+#   3. benchmarks/bootstrap_chip.py toy — n=8192 bootstrap chip timing
+#
+# Logs under /tmp/chipq/. Usage: nohup bash benchmarks/chip_queue.sh &
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/chipq
+mkdir -p "$LOG"
+note() { echo "$(date -u '+%m-%d %H:%M:%S') $*" >> "$LOG/queue.log"; }
+
+note "queue armed (pid $$)"
+while true; do
+  # -k: the observed hang is inside the PJRT C init where SIGTERM is
+  # never serviced — force SIGKILL if the probe outlives the timeout
+  if timeout -k 30 240 python -c \
+    "import jax; jax.devices(); import jax.numpy as jnp; assert int((jnp.arange(4)+1).sum())==10" \
+    > "$LOG/probe.log" 2>&1; then
+    note "tunnel UP"
+    break
+  fi
+  note "tunnel down (probe timed out/failed)"
+  sleep 540
+done
+
+note "bench.py start"
+timeout -k 30 3600 python bench.py > "$LOG/bench.json" 2> "$LOG/bench.err"
+note "bench.py exit $?"
+
+note "alpha_sweep start"
+timeout -k 30 3600 python benchmarks/alpha_sweep.py \
+  > "$LOG/alpha.log" 2>&1
+note "alpha_sweep exit $?"
+
+note "bootstrap_chip toy start"
+timeout -k 30 7200 python benchmarks/bootstrap_chip.py toy \
+  > "$LOG/btp_toy.log" 2>&1
+note "bootstrap_chip toy exit $?"
+
+note "queue done"
