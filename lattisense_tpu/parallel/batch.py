@@ -112,6 +112,50 @@ def make_limb_tp_mult_relin(engine, level: int, mesh):
     return jax.jit(f), sharded.pad_keys
 
 
+def make_limb_tp_mult_relin_rescale(engine, level: int, mesh):
+    """CKKS twin of :func:`make_limb_tp_mult_relin`: NTT-domain tensor
+    product (batch sharded over ``op``), relinearization through the
+    explicit-collective limb-TP key switch, rescale in the same program.
+    The per-limb NTT/INTT hops around the switch and the rescale are
+    limb-independent, so they stay local under the mesh sharding (no
+    collectives beyond the switch's psum_scatter).
+
+    Bit-identical to ``rescale(relinearize(mult(a, b)))``; output is the
+    (B, 2, L, n) NTT-domain data at ``level - 1`` with scale
+    ``scale² / q_level``. Returns (f, prep_keys) like the BFV variant.
+    """
+    from ..core import ntt as ntt_mod
+    from ..core import u64 as _u
+    from .keyswitch_sharded import ShardedKeySwitcher
+    sharded = ShardedKeySwitcher(engine.switcher, level, mesh)
+    ring = engine.ring(level)
+    ring2 = engine.ring(level - 1)
+    rescaler = engine.rescaler(level)
+    scale = engine.params.scale
+    ct_sh = NamedSharding(mesh, ct_batch_spec(False))
+
+    def single_mult(a_data, b_data):
+        a = _wrap_ct(a_data, level, True, scale)
+        b = _wrap_ct(b_data, level, True, scale)
+        return engine.mult(jnp, a, b).data          # (3, L, n) NTT domain
+
+    vmult = jax.vmap(single_mult)
+
+    def f(a, b, kd):
+        a = jax.lax.with_sharding_constraint(a, ct_sh)
+        b = jax.lax.with_sharding_constraint(b, ct_sh)
+        d3 = vmult(a, b)                            # (B, 3, L, n)
+        c2 = ntt_mod.intt(jnp, d3[:, 2], ring)
+        e0, e1 = sharded.traced(c2, kd)             # coeff-domain over Q_ℓ
+        c0 = _u.addmod(jnp, d3[:, 0], ntt_mod.ntt(jnp, e0, ring), ring.q)
+        c1 = _u.addmod(jnp, d3[:, 1], ntt_mod.ntt(jnp, e1, ring), ring.q)
+        coeff = ntt_mod.intt(jnp, jnp.stack([c0, c1], axis=1), ring)
+        out = ntt_mod.ntt(jnp, rescaler(jnp, coeff), ring2)
+        return jax.lax.with_sharding_constraint(out, ct_sh)
+
+    return jax.jit(f), sharded.pad_keys
+
+
 def key_tree(context, galois_elts=()):
     """Context keys → plain array pytree for jit arguments."""
     tree = {'rlk': KeySwitchKey(key_q=context.rlk.key_q, key_p=context.rlk.key_p,

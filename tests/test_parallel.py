@@ -187,3 +187,37 @@ def test_bootstrap_segments_limb_sharded(tmp_path):
                      scale=host[0].scale)
     err = np.max(np.abs(ctx.decrypt_decode(out).real - msg))
     assert err < 5e-3, f'sharded bootstrap err {err:.2e}'
+
+
+def test_integrated_limb_tp_ckks_mult_relin_rescale():
+    """CKKS twin of the integrated 2-D pipeline: op-sharded NTT-domain
+    tensor product -> limb-TP key switch -> in-graph rescale, one jit
+    program — bit-exact vs the single-device golden pipeline."""
+    from lattisense_tpu.params import CkksParams
+    from lattisense_tpu.runtime import CkksContext
+    from lattisense_tpu.parallel.batch import make_limb_tp_mult_relin_rescale
+    q = gen_ntt_primes(N, 45, 5)
+    p = gen_ntt_primes(N, 46, 2, exclude=tuple(q))
+    params = CkksParams.create_custom(N, q, p, scale=float(1 << 40))
+    cctx = CkksContext.create_random_context(params, seed=31)
+    level = params.max_level
+    mesh = make_mesh(op=4, limb=2)
+    f, prep = make_limb_tp_mult_relin_rescale(cctx.engine, level, mesh)
+    kd = prep(cctx.rlk.key_q, cctx.rlk.key_p)
+    batch = 8
+    rng = np.random.default_rng(12)
+    vals = rng.uniform(-1, 1, (2 * batch, params.slots))
+    cts = [cctx.encrypt(cctx.encode(v, level)) for v in vals]
+    a = np.stack([c.data for c in cts[:batch]])
+    b = np.stack([c.data for c in cts[batch:]])
+    out = np.asarray(f(a, b, kd))
+    eng = cctx.engine
+    for i in range(batch):
+        ref = eng.rescale(np, eng.relinearize(
+            np, eng.mult(np, cts[i], cts[batch + i]), cctx.rlk))
+        np.testing.assert_array_equal(out[i], np.asarray(ref.data))
+        got = cctx.decrypt_decode(
+            type(ref)(data=out[i], level=ref.level, is_ntt=True,
+                      scale=ref.scale))
+        np.testing.assert_allclose(got.real, vals[i] * vals[batch + i],
+                                   atol=1e-4)
