@@ -31,6 +31,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core import ntt as ntt_mod
 from ..core import u64 as _u
+from ..core.u64 import word_dtype
 from ..core.modring import get_rns_ring
 
 
@@ -72,15 +73,17 @@ class ShardedKeySwitcher:
         self.beta_pad = -(-self.beta // self.D) * self.D
         qp = switcher.q_moduli[:L] + switcher.p_moduli
         self.T = len(qp)
-        self.ring_qp = get_rns_ring(qp, self.n)
-        self.ring_q = get_rns_ring(switcher.q_moduli[:L], self.n)
+        self.wb = switcher.word_bits
+        self.ring_qp = get_rns_ring(qp, self.n, self.wb)
+        self.ring_q = get_rns_ring(switcher.q_moduli[:L], self.n, self.wb)
+        dt = word_dtype(self.wb)
         # per-digit constants, padded on the digit axis (zeros annihilate)
         pre = switcher._level_pre(level)
         (_, qhat_inv, qhat_inv_shoup, src_q, qhat_conv, self.round_div) = pre
         self.qhat_inv = _pad_axis(qhat_inv, 0, self.beta_pad)
         self.qhat_inv_shoup = _pad_axis(qhat_inv_shoup, 0, self.beta_pad)
         self.src_q = _pad_axis(np.broadcast_to(src_q, qhat_inv.shape).copy(),
-                               0, self.beta_pad) + np.uint64(0)
+                               0, self.beta_pad).astype(dt)
         self.src_q[self.beta:] = 1          # avoid mod-0 in padded digits
         self.qhat_conv = _pad_axis(qhat_conv, 0, self.beta_pad)
         # T padded to a multiple of D for the psum_scatter tiling
@@ -101,10 +104,11 @@ class ShardedKeySwitcher:
         L, n, T, T_pad = self.L, self.n, self.T, self.T_pad
         alpha, beta_pad = self.alpha, self.beta_pad
         ring_qp, ring_q = self.ring_qp, self.ring_q
+        dt = word_dtype(sw.word_bits)
         qp_q = np.asarray(ring_qp.q)                      # (T, 1)
-        qp_q_pad = _pad_axis(qp_q, 0, T_pad) + np.uint64(0)
+        qp_q_pad = _pad_axis(qp_q, 0, T_pad).astype(dt)
         qp_q_pad[T:] = 1
-        qp_pinv_pad = _pad_axis(np.asarray(ring_qp.pinv), 0, T_pad) + np.uint64(0)
+        qp_pinv_pad = _pad_axis(np.asarray(ring_qp.pinv), 0, T_pad).astype(dt)
         qp_pinv_pad[T:] = 1                               # padded rows discarded
 
         consts = dict(
@@ -129,7 +133,6 @@ class ShardedKeySwitcher:
         rd_half_p = np.asarray(rd.half_p)
         rd_qhat_inv = np.asarray(rd.conv.qhat_inv)
         rd_qhat_inv_shoup = np.asarray(rd.conv.qhat_inv_shoup)
-        rd_p_inv_f = np.asarray(rd.p_inv_f)               # (α, 1)
         rd_conv_pad = padT(rd.conv.qhat_dst_mont)         # (T_pad, α)
         half_q_pad = padT(rd.half_q)
         pmont_pad = padT(rd.pinv_mont)
@@ -154,19 +157,27 @@ class ShardedKeySwitcher:
             terms = _u.mont_mul(jnp, xd[:, None, :, :], kd, qp_q_pad, qp_pinv_pad)
             acc = _u.modsum_tree(jnp, terms, qp_q_pad, axis=0)   # (2, T_pad, n)
             # reduce over devices + scatter the T axis: each device gets
-            # (2, T_pad/D, n) fully-summed rows. Row sums < D·q < 2^64.
+            # (2, T_pad/D, n) fully-summed rows. Row sums < D·q must not
+            # wrap: always true in u64 (q < 2^62), but u32 rows overflow
+            # for D > 2 (q < 2^31) — widen just the collective there.
+            wide = sw.word_bits == 32 and D > 2
+            if wide:
+                acc = acc.astype(jnp.uint64)
             acc = jax.lax.psum_scatter(acc, 'limb', scatter_dimension=1,
                                        tiled=True)
             # fold the ≤ D·q overflow back below q (log2 D conditional subs)
             rpd = T_pad // D
             q_loc = jax.lax.dynamic_slice_in_dim(
                 jnp.asarray(qp_q_pad), my * rpd, rpd, axis=0)
+            qf = q_loc.astype(acc.dtype)
             d = D
             while d > 1:
                 d //= 2
-                over = acc >= q_loc * jnp.uint64(d)
-                acc = jnp.where(over, acc - q_loc * jnp.uint64(d), acc)
-            acc = jnp.where(acc >= q_loc, acc - q_loc, acc)
+                step = qf * jnp.asarray(d, acc.dtype)
+                acc = jnp.where(acc >= step, acc - step, acc)
+            acc = jnp.where(acc >= qf, acc - qf, acc)
+            if wide:
+                acc = acc.astype(jnp.uint32)
 
             # ---- in-mesh epilogue: local INTT on this device's limb rows
             def sl(a):
@@ -205,8 +216,9 @@ class ShardedKeySwitcher:
             # HPS overflow correction — must mirror RoundDivP.__call__
             # exactly (bit-parity with the single-device path): the
             # conversion overflow v = floor(Σ_j y_j/p_j) is added back.
-            frac = (y.astype(jnp.float64) * rd_p_inv_f).sum(axis=-2)
-            v = jnp.floor(frac).astype(e.dtype)[..., None, :]
+            # rd.overflow dispatches per word (float64 on u64 chains, the
+            # exact u32 fixed-point estimate on w32 chains).
+            v = rd.overflow(jnp, y)[..., None, :]
             return _u.addmod(jnp, e, v, q_loc)
 
         in_specs = (P(), P('limb'), P('limb'), P('limb'), P('limb'), P('limb'))

@@ -34,3 +34,29 @@ def test_sharded_keyswitch_bitexact(limb_devices):
     got0, got1 = sharded(x, ksk.key_q, ksk.key_p)
     np.testing.assert_array_equal(got0, ref0)
     np.testing.assert_array_equal(got1, ref1)
+
+
+@pytest.mark.parametrize('limb_devices', [2, 4])
+def test_sharded_keyswitch_w32_bitexact(limb_devices):
+    """31-bit-word (TPU-native) chains through the limb-sharded switch —
+    bit-exact vs the single-device w32 path. limb=4 exercises the widened
+    psum_scatter (u32 row sums would wrap for D > 2)."""
+    from lattisense_tpu.params import BfvParams
+    from lattisense_tpu.runtime import BfvContext
+    chain = tuple(gen_ntt_primes(N, 31, 10))
+    q, p = list(chain[:8]), list(chain[8:10])
+    params = BfvParams.create_custom(N, 257, q, p, word_bits=32)
+    ctx = BfvContext.create_random_context(params, seed=19)
+    sw = ctx.engine.switcher
+    rng = np.random.default_rng(4)
+    level = 7
+    x = np.stack([rng.integers(0, qi, N, dtype=np.uint64).astype(np.uint32)
+                  for qi in q[:level + 1]])
+    ref0, ref1 = sw.switch(np, x, ctx.rlk, level)
+
+    mesh = make_mesh(op=8 // limb_devices, limb=limb_devices)
+    sharded = ShardedKeySwitcher(sw, level, mesh)
+    got0, got1 = sharded(x, ctx.rlk.key_q, ctx.rlk.key_p)
+    assert got0.dtype == np.uint32 and got1.dtype == np.uint32
+    np.testing.assert_array_equal(got0, ref0)
+    np.testing.assert_array_equal(got1, ref1)

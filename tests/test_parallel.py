@@ -221,3 +221,29 @@ def test_integrated_limb_tp_ckks_mult_relin_rescale():
                       scale=ref.scale))
         np.testing.assert_allclose(got.real, vals[i] * vals[batch + i],
                                    atol=1e-4)
+
+
+def test_integrated_limb_tp_mult_relin_w32():
+    """The headline w32 (31-bit-word) BFV pipeline through the integrated
+    op x limb program — bit-exact vs the single-device w32 golden path."""
+    from lattisense_tpu.parallel.batch import make_limb_tp_mult_relin
+    chain = tuple(gen_ntt_primes(N, 31, 10))
+    q, p = list(chain[:8]), list(chain[8:10])
+    params = BfvParams.create_custom(N, 65537, q, p, word_bits=32)
+    wctx = BfvContext.create_random_context(params, seed=23)
+    level = 7
+    mesh = make_mesh(op=2, limb=4)
+    f, prep = make_limb_tp_mult_relin(wctx.engine, level, mesh)
+    kd = prep(wctx.rlk.key_q, wctx.rlk.key_p)
+    batch = 4
+    rng = np.random.default_rng(17)
+    msgs = rng.integers(0, 65537, (2 * batch, N), dtype=np.uint64)
+    cts = [wctx.encrypt(wctx.encode(m, level)) for m in msgs]
+    a = np.stack([c.data for c in cts[:batch]])
+    b = np.stack([c.data for c in cts[batch:]])
+    out = np.asarray(f(a, b, kd))
+    assert out.dtype == np.uint32
+    for i in range(batch):
+        ref = wctx.engine.relinearize(
+            np, wctx.engine.mult(np, cts[i], cts[batch + i]), wctx.rlk)
+        np.testing.assert_array_equal(out[i], np.asarray(ref.data))
