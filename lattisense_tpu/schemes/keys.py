@@ -36,7 +36,9 @@ def lift_signed(coeffs, moduli, word_bits: int = 64) -> np.ndarray:
     c = np.asarray(coeffs, dtype=np.int64)
     out = np.empty((len(moduli), len(c)), dtype=dt)
     for i, q in enumerate(moduli):
-        out[i] = np.where(c < 0, c + int(q), c).astype(dt)
+        # true reduction, not a single +q re-center: wide smudging noise
+        # (sigma ~2^30 multiparty shares) exceeds 31-bit w32 primes
+        out[i] = np.mod(c, np.int64(q)).astype(dt)
     return out
 
 

@@ -17,6 +17,7 @@ import numpy as np
 
 from ..core import ntt as ntt_mod
 from ..core import u64 as _u
+from ..core.u64 import word_dtype
 from ..core.modring import get_rns_ring
 from ..utils.csprng import CryptoRng
 from ..utils.serialize import (_emit, _pack_rns, _parse, _unpack_rns,
@@ -28,8 +29,14 @@ from .galois import apply_automorphism_coeff
 _U64 = np.uint64
 
 
-def _e_ntt(rng, moduli, n, ring):
-    return ntt_mod.ntt(np, lift_signed(sample_gaussian(rng, n), moduli), ring)
+def _wb(obj) -> int:
+    """RNS word width of a params/engine object (64 unless word_bits=32)."""
+    return int(getattr(obj, 'word_bits', 64))
+
+
+def _e_ntt(rng, moduli, n, ring, wb: int = 64):
+    return ntt_mod.ntt(np, lift_signed(sample_gaussian(rng, n), moduli, wb),
+                       ring)
 
 
 class _Share:
@@ -115,21 +122,23 @@ class CkgProtocol:
     def __init__(self, params, crp_seed: int):
         self.params = params
         self.q = tuple(params.q)
-        self.crp = expand_uniform(crp_seed, self.q, params.n)   # NTT domain
+        self.wb = _wb(params)
+        self.dt = word_dtype(self.wb)
+        self.crp = expand_uniform(crp_seed, self.q, params.n).astype(self.dt)
 
     def gen_share(self, party: DBfvParty) -> PublicKeyShare:
-        ring = get_rns_ring(self.q, party.n)
-        s = party.sk.ntt_form(self.q, party.n)
+        ring = get_rns_ring(self.q, party.n, self.wb)
+        s = party.sk.ntt_form(self.q, party.n, self.wb)
         as_ = _u.mulmod(np, self.crp, s, ring.q, ring.pinv, ring.r2)
-        e = _e_ntt(party.rng, self.q, party.n, ring)
+        e = _e_ntt(party.rng, self.q, party.n, ring, self.wb)
         share = _u.negmod(np, _u.addmod(np, as_, e, ring.q), ring.q)
         return PublicKeyShare(share, self.q)
 
     def aggregate(self, shares: list[PublicKeyShare]) -> PublicKey:
-        ring = get_rns_ring(self.q, self.params.n)
-        b = shares[0].data
+        ring = get_rns_ring(self.q, self.params.n, self.wb)
+        b = shares[0].data.astype(self.dt, copy=False)
         for s in shares[1:]:
-            b = _u.addmod(np, b, s.data, ring.q)
+            b = _u.addmod(np, b, s.data.astype(self.dt, copy=False), ring.q)
         return PublicKey(data=np.stack([b, self.crp]))
 
 
@@ -149,18 +158,20 @@ class RkgProtocol:
         self.n = params.n
         self.alpha = len(self.p)
         self.beta = (len(self.q) + self.alpha - 1) // self.alpha
-        ring = get_rns_ring(self.qp, self.n)
+        self.wb = _wb(params)
+        self.dt = word_dtype(self.wb)
+        ring = get_rns_ring(self.qp, self.n, self.wb)
         self.ring = ring
         # β CRPs over Q∪P
         self.crp = np.stack([expand_uniform(crp_seed + d, self.qp, self.n)
-                             for d in range(self.beta)])      # (β, L+P, n)
+                             for d in range(self.beta)]).astype(self.dt)
         self.gamma_p = _gamma_times_p(self.q, self.p, self.alpha)   # (β, Lq)
         self._ephemeral: dict[int, np.ndarray] = {}
 
     def _pgs(self, s_ntt):
         """P·γ_d·s in NTT domain, per digit: (β, L+P, n)."""
         Lq, Lp = len(self.q), len(self.p)
-        pg = np.zeros((self.beta, Lq + Lp, 1), dtype=_U64)
+        pg = np.zeros((self.beta, Lq + Lp, 1), dtype=self.dt)
         pg[:, :Lq, 0] = self.gamma_p
         return _u.mulmod(np, pg, s_ntt[None], self.ring.q, self.ring.pinv,
                          self.ring.r2)
@@ -169,39 +180,41 @@ class RkgProtocol:
         ring = self.ring
         u = SecretKey(sample_ternary(party.rng, self.n))
         self._ephemeral[id(party)] = u
-        u_ntt = u.ntt_form(self.qp, self.n)
-        s_ntt = party.sk.ntt_form(self.qp, self.n)
+        u_ntt = u.ntt_form(self.qp, self.n, self.wb)
+        s_ntt = party.sk.ntt_form(self.qp, self.n, self.wb)
         pgs = self._pgs(s_ntt)
-        h = np.empty((self.beta, 2, len(self.qp), self.n), dtype=_U64)
+        h = np.empty((self.beta, 2, len(self.qp), self.n), dtype=self.dt)
         for d in range(self.beta):
             ua = _u.mulmod(np, self.crp[d], u_ntt, ring.q, ring.pinv, ring.r2)
-            e0 = _e_ntt(party.rng, self.qp, self.n, ring)
+            e0 = _e_ntt(party.rng, self.qp, self.n, ring, self.wb)
             h[d, 0] = _u.addmod(np, _u.submod(np, pgs[d], ua, ring.q), e0, ring.q)
             sa = _u.mulmod(np, self.crp[d], s_ntt, ring.q, ring.pinv, ring.r2)
-            e1 = _e_ntt(party.rng, self.qp, self.n, ring)
+            e1 = _e_ntt(party.rng, self.qp, self.n, ring, self.wb)
             h[d, 1] = _u.addmod(np, sa, e1, ring.q)
         return RelinKeyShareRound1(h, self.qp)
 
     def aggregate_round1(self, shares: list[RelinKeyShareRound1]) -> RelinKeyShareRound1:
-        acc = shares[0].data
+        acc = shares[0].data.astype(self.dt, copy=False)
         for s in shares[1:]:
-            acc = _u.addmod(np, acc, s.data, self.ring.q)
+            acc = _u.addmod(np, acc, s.data.astype(self.dt, copy=False),
+                            self.ring.q)
         return RelinKeyShareRound1(acc, self.qp)
 
     def gen_share_round2(self, party: DBfvParty,
                          round1: RelinKeyShareRound1) -> RelinKeyShareRound2:
         ring = self.ring
         u = self._ephemeral.pop(id(party))
-        u_ntt = u.ntt_form(self.qp, self.n)
-        s_ntt = party.sk.ntt_form(self.qp, self.n)
-        h0, h1 = round1.data[:, 0], round1.data[:, 1]
-        out = np.empty_like(round1.data)
+        u_ntt = u.ntt_form(self.qp, self.n, self.wb)
+        s_ntt = party.sk.ntt_form(self.qp, self.n, self.wb)
+        r1 = round1.data.astype(self.dt, copy=False)
+        h0, h1 = r1[:, 0], r1[:, 1]
+        out = np.empty_like(r1)
         for d in range(self.beta):
-            e0 = _e_ntt(party.rng, self.qp, self.n, ring)
+            e0 = _e_ntt(party.rng, self.qp, self.n, ring, self.wb)
             out[d, 0] = _u.addmod(np, _u.mulmod(np, s_ntt, h0[d], ring.q,
                                                 ring.pinv, ring.r2), e0, ring.q)
             us = _u.submod(np, u_ntt, s_ntt, ring.q)
-            e1 = _e_ntt(party.rng, self.qp, self.n, ring)
+            e1 = _e_ntt(party.rng, self.qp, self.n, ring, self.wb)
             out[d, 1] = _u.addmod(np, _u.mulmod(np, us, h1[d], ring.q,
                                                 ring.pinv, ring.r2), e1, ring.q)
         return RelinKeyShareRound2(out, self.qp)
@@ -209,15 +222,15 @@ class RkgProtocol:
     def aggregate_round2(self, shares: list[RelinKeyShareRound2],
                          round1: RelinKeyShareRound1) -> KeySwitchKey:
         ring = self.ring
-        acc = shares[0].data
+        acc = shares[0].data.astype(self.dt, copy=False)
         for s in shares[1:]:
-            acc = _u.addmod(np, acc, s.data, ring.q)
+            acc = _u.addmod(np, acc, s.data.astype(self.dt, copy=False), ring.q)
         Lq = len(self.q)
-        key_q = np.empty((self.beta, 2, Lq, self.n), dtype=_U64)
-        key_p = np.empty((self.beta, 2, len(self.p), self.n), dtype=_U64)
+        key_q = np.empty((self.beta, 2, Lq, self.n), dtype=self.dt)
+        key_p = np.empty((self.beta, 2, len(self.p), self.n), dtype=self.dt)
         for d in range(self.beta):
             k0 = _u.addmod(np, acc[d, 0], acc[d, 1], ring.q)
-            k1 = round1.data[d, 1]
+            k1 = round1.data[d, 1].astype(self.dt, copy=False)
             k0 = _u.to_mont(np, k0, ring.q, ring.pinv, ring.r2)
             k1 = _u.to_mont(np, k1, ring.q, ring.pinv, ring.r2)
             key_q[d, 0], key_q[d, 1] = k0[:Lq], k1[:Lq]
@@ -240,36 +253,39 @@ class RtgProtocol:
         self.n = params.n
         self.alpha = len(self.p)
         self.beta = (len(self.q) + self.alpha - 1) // self.alpha
-        self.ring = get_rns_ring(self.qp, self.n)
+        self.wb = _wb(params)
+        self.dt = word_dtype(self.wb)
+        self.ring = get_rns_ring(self.qp, self.n, self.wb)
         self.crp = np.stack([expand_uniform(crp_seed + d, self.qp, self.n)
-                             for d in range(self.beta)])
+                             for d in range(self.beta)]).astype(self.dt)
         self.gamma_p = _gamma_times_p(self.q, self.p, self.alpha)
 
     def gen_share(self, party: DBfvParty) -> GaloisKeyShare:
         ring = self.ring
-        s_ntt = party.sk.ntt_form(self.qp, self.n)
-        s_rot = apply_automorphism_coeff(np, lift_signed(party.sk.coeffs, self.qp),
-                                         ring.q, self.n, self.galois_elt)
+        s_ntt = party.sk.ntt_form(self.qp, self.n, self.wb)
+        s_rot = apply_automorphism_coeff(
+            np, lift_signed(party.sk.coeffs, self.qp, self.wb),
+            ring.q, self.n, self.galois_elt)
         srot_ntt = ntt_mod.ntt(np, s_rot, ring)
         Lq, Lp = len(self.q), len(self.p)
-        pg = np.zeros((self.beta, Lq + Lp, 1), dtype=_U64)
+        pg = np.zeros((self.beta, Lq + Lp, 1), dtype=self.dt)
         pg[:, :Lq, 0] = self.gamma_p
         pgs = _u.mulmod(np, pg, srot_ntt[None], ring.q, ring.pinv, ring.r2)
-        h = np.empty((self.beta, len(self.qp), self.n), dtype=_U64)
+        h = np.empty((self.beta, len(self.qp), self.n), dtype=self.dt)
         for d in range(self.beta):
             as_ = _u.mulmod(np, self.crp[d], s_ntt, ring.q, ring.pinv, ring.r2)
-            e = _e_ntt(party.rng, self.qp, self.n, ring)
+            e = _e_ntt(party.rng, self.qp, self.n, ring, self.wb)
             h[d] = _u.addmod(np, _u.submod(np, pgs[d], as_, ring.q), e, ring.q)
         return GaloisKeyShare(h, self.qp)
 
     def aggregate(self, shares: list[GaloisKeyShare]) -> KeySwitchKey:
         ring = self.ring
-        acc = shares[0].data
+        acc = shares[0].data.astype(self.dt, copy=False)
         for s in shares[1:]:
-            acc = _u.addmod(np, acc, s.data, ring.q)
+            acc = _u.addmod(np, acc, s.data.astype(self.dt, copy=False), ring.q)
         Lq = len(self.q)
-        key_q = np.empty((self.beta, 2, Lq, self.n), dtype=_U64)
-        key_p = np.empty((self.beta, 2, len(self.p), self.n), dtype=_U64)
+        key_q = np.empty((self.beta, 2, Lq, self.n), dtype=self.dt)
+        key_p = np.empty((self.beta, 2, len(self.p), self.n), dtype=self.dt)
         for d in range(self.beta):
             k0 = _u.to_mont(np, acc[d], ring.q, ring.pinv, ring.r2)
             k1 = _u.to_mont(np, self.crp[d], ring.q, ring.pinv, ring.r2)
@@ -293,6 +309,8 @@ class E2sProtocol:
         self.level = level
         self.q = engine.q[:level + 1]
         self.ring = engine.ring(level)
+        self.wb = _wb(engine.params)
+        self.dt = word_dtype(self.wb)
 
     def gen_share(self, party: DBfvParty, ct: Ciphertext):
         """→ (public DecryptionShare, private mask M_i over Z_t slots)."""
@@ -301,15 +319,16 @@ class E2sProtocol:
         # Δ·M_i as plaintext poly (slot-encoded)
         from .encoding import bfv_encode_slots
         m_poly = bfv_encode_slots(mask, eng.t, eng.n)
-        delta_m = _u.mont_mul(np, np.broadcast_to(m_poly, (self.level + 1, eng.n)).astype(_U64),
+        delta_m = _u.mont_mul(np, np.broadcast_to(m_poly, (self.level + 1, eng.n)).astype(self.dt),
                               eng.delta_mont(self.level), self.ring.q, self.ring.pinv)
         c1_ntt = ntt_mod.ntt(np, np.asarray(ct.data[1]), self.ring)
-        s_ntt = party.sk.ntt_form(tuple(self.q), eng.n)
+        s_ntt = party.sk.ntt_form(tuple(self.q), eng.n, self.wb)
         c1s = ntt_mod.intt(np, _u.mulmod(np, c1_ntt, s_ntt, self.ring.q,
                                          self.ring.pinv, self.ring.r2), self.ring)
         # Smudging noise: the published share must not leak s_i / ct noise.
         e = lift_signed(sample_gaussian(party.rng, eng.n,
-                                        sigma=party.sigma_smudging), self.q)
+                                        sigma=party.sigma_smudging), self.q,
+                        self.wb)
         h = _u.submod(np, _u.addmod(np, c1s, e, self.ring.q), delta_m, self.ring.q)
         return DecryptionShare(h, tuple(self.q)), mask
 
@@ -318,7 +337,8 @@ class E2sProtocol:
         eng = self.engine
         acc = np.asarray(ct.data[0])
         for s in shares:
-            acc = _u.addmod(np, acc, s.data, self.ring.q)
+            acc = _u.addmod(np, acc, s.data.astype(self.dt, copy=False),
+                            self.ring.q)
         return eng.decode(eng_decrypt_poly(eng, acc, self.level))
 
 
@@ -346,33 +366,37 @@ class S2eProtocol:
         self.level = level
         self.q = tuple(engine.q[:level + 1])
         self.ring = engine.ring(level)
-        self.crp_ntt = expand_uniform(crp_seed, self.q, engine.n)
+        self.wb = _wb(engine.params)
+        self.dt = word_dtype(self.wb)
+        self.crp_ntt = expand_uniform(crp_seed, self.q, engine.n).astype(self.dt)
 
     def gen_share(self, party: DBfvParty, mask: np.ndarray) -> EncryptionShare:
         eng = self.engine
         from .encoding import bfv_encode_slots
         m_poly = bfv_encode_slots(mask, eng.t, eng.n)
-        delta_m = _u.mont_mul(np, np.broadcast_to(m_poly, (self.level + 1, eng.n)).astype(_U64),
+        delta_m = _u.mont_mul(np, np.broadcast_to(m_poly, (self.level + 1, eng.n)).astype(self.dt),
                               eng.delta_mont(self.level), self.ring.q, self.ring.pinv)
-        s_ntt = party.sk.ntt_form(self.q, eng.n)
+        s_ntt = party.sk.ntt_form(self.q, eng.n, self.wb)
         as_ = ntt_mod.intt(np, _u.mulmod(np, self.crp_ntt, s_ntt, self.ring.q,
                                          self.ring.pinv, self.ring.r2), self.ring)
         # Smudging noise (same rationale as E2S — published share).
         e = lift_signed(sample_gaussian(party.rng, eng.n,
-                                        sigma=party.sigma_smudging), self.q)
+                                        sigma=party.sigma_smudging), self.q,
+                        self.wb)
         h = _u.submod(np, _u.addmod(np, delta_m, e, self.ring.q), as_, self.ring.q)
         return EncryptionShare(h, self.q)
 
     def aggregate(self, shares: list[EncryptionShare],
                   residual: np.ndarray | None = None) -> Ciphertext:
         eng = self.engine
-        acc = shares[0].data
+        acc = shares[0].data.astype(self.dt, copy=False)
         for s in shares[1:]:
-            acc = _u.addmod(np, acc, s.data, self.ring.q)
+            acc = _u.addmod(np, acc, s.data.astype(self.dt, copy=False),
+                            self.ring.q)
         if residual is not None:
             from .encoding import bfv_encode_slots
             m_poly = bfv_encode_slots(residual, eng.t, eng.n)
-            delta_m = _u.mont_mul(np, np.broadcast_to(m_poly, (self.level + 1, eng.n)).astype(_U64),
+            delta_m = _u.mont_mul(np, np.broadcast_to(m_poly, (self.level + 1, eng.n)).astype(self.dt),
                                   eng.delta_mont(self.level), self.ring.q, self.ring.pinv)
             acc = _u.addmod(np, acc, delta_m, self.ring.q)
         c1 = ntt_mod.intt(np, self.crp_ntt, self.ring)

@@ -16,11 +16,17 @@ from lattisense_tpu.schemes.keys import SecretKey
 N, T, PARTIES = 64, 65537, 3
 
 
-@pytest.fixture(scope='module')
-def setup():
-    q = gen_ntt_primes(N, 50, 3)
-    p = gen_ntt_primes(N, 51, 1, exclude=tuple(q))
-    params = BfvParams.create_custom(N, T, q, p)
+@pytest.fixture(scope='module', params=[64, 32], ids=['u64', 'w32'])
+def setup(request):
+    """Both RNS words: the u64 reference chains and the 31-bit TPU-native
+    (word_bits=32) profile — every protocol must hold on both."""
+    if request.param == 64:
+        q = gen_ntt_primes(N, 50, 3)
+        p = gen_ntt_primes(N, 51, 1, exclude=tuple(q))
+    else:
+        chain = gen_ntt_primes(N, 31, 8)
+        q, p = chain[:6], chain[6:8]
+    params = BfvParams.create_custom(N, T, q, p, word_bits=request.param)
     eng = BfvEngine(params)
     parties = [mp.DBfvParty(params, seed=100 + i) for i in range(PARTIES)]
     joint = SecretKey(sum(p_.sk.coeffs for p_ in parties))
