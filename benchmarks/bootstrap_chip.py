@@ -21,6 +21,19 @@ if mode == 'smoke':
     params = CkksParams.create_custom(N, q0 + qs, p[1:], scale=float(1 << 45))
     cfg = BootstrapConfig(cts_depth=3, stc_depth=3, k=16, sine_deg=30, double_angle=3)
     ctx = CkksBtpContext.create_random_context(params, seed=7, h=32, btp_config=cfg)
+elif mode == 'full':
+    # the reference FULL profile (n=2^16, 25 limbs) at the best-known
+    # quality config (ratio 4 + deg-3 arcsine -> 8.25e-5, BASELINE.md).
+    # Host walk + keygen take ~1 h CPU before the first device contact;
+    # segment compiles are persistent-cached.
+    from lattisense_tpu.frontend.custom_task import CkksBtpParam
+    fe = CkksBtpParam.create_default_param()
+    params = CkksParams.create_custom(fe.n, fe.q, fe.p, slots=fe.slots, scale=float(fe.scale))
+    cfg = BootstrapConfig(cts_depth=fe.cts_params.depth(), stc_depth=fe.stc_params.depth(),
+                          k=20, sine_deg=39, double_angle=fe.eval_mod_params.double_angle,
+                          em_scale=float(fe.eval_mod_params.scaling_factor),
+                          message_ratio=4.0, arcsine=True)
+    ctx = CkksBtpContext.create_random_context(params, seed=77, h=192, btp_config=cfg)
 else:
     from lattisense_tpu.frontend.custom_task import CkksBtpParam
     fe = CkksBtpParam.create_toy_param()
