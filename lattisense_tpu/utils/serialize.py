@@ -73,13 +73,24 @@ def _params_header(params) -> dict:
     else:
         d['slots'] = params.slots
         d['scale'] = params.scale
+    if getattr(params, 'word_bits', 64) != 64:
+        d['word'] = params.word_bits    # absent = 64 (format-stable)
     return d
 
 
 def params_from_header(d: dict):
+    w = d.get('word', 64)
     if d['algo'] == 'BFV':
-        return BfvParams(d['n'], d['t'], d['q'], d['p'])
-    return CkksParams(d['n'], d['q'], d['p'], d['slots'], d['scale'])
+        return BfvParams(d['n'], d['t'], d['q'], d['p'], word_bits=w)
+    return CkksParams(d['n'], d['q'], d['p'], d['slots'], d['scale'],
+                      word_bits=w)
+
+
+def _wdt(params):
+    """Word dtype of a params object — deserialized polys are re-cast to it
+    (the packed residues are < q, so the cast is exact)."""
+    from ..core.u64 import word_dtype
+    return word_dtype(getattr(params, 'word_bits', 64))
 
 
 def _poly_widths(moduli, drop: int = 0):
@@ -203,7 +214,8 @@ def deserialize_ciphertext(blob: bytes) -> Ciphertext:
             poly = _crt_decompose(X, moduli)
             offset += size
         polys.append(poly)
-    return Ciphertext(data=np.stack(polys), level=level, is_ntt=header['is_ntt'],
+    return Ciphertext(data=np.stack(polys).astype(_wdt(params)), level=level,
+                      is_ntt=header['is_ntt'],
                       is_mform=header['is_mform'], scale=header['scale'])
 
 
@@ -261,8 +273,8 @@ class CompressedCiphertext:
         params = params_from_header(header['params'])
         level = header['level']
         c0, _ = _unpack_rns(body, 0, (level + 1, params.n), params.q[:level + 1])
-        return CompressedCiphertext(c0, header['seed'], level, header['is_ntt'],
-                                    header['scale'])
+        return CompressedCiphertext(c0.astype(_wdt(params)), header['seed'],
+                                    level, header['is_ntt'], header['scale'])
 
 
 # ---------------------------------------------------------------------------
@@ -282,7 +294,9 @@ def _unpack_ksk(meta: dict, body: bytes, offset: int, params):
     n = params.n
     kq, offset = _unpack_rns(body, offset, (beta, 2, len(params.q), n), params.q)
     kp, offset = _unpack_rns(body, offset, (beta, 2, len(params.p), n), params.p)
-    return KeySwitchKey(key_q=kq, key_p=kp, level=meta['level'],
+    dt = _wdt(params)
+    return KeySwitchKey(key_q=kq.astype(dt), key_p=kp.astype(dt),
+                        level=meta['level'],
                         sp_level=meta['sp_level']), offset
 
 
@@ -336,7 +350,7 @@ def deserialize_context(blob: bytes):
         offset += size
     if header['has_pk']:
         pk, offset = _unpack_rns(body, offset, (2, len(params.q), n), params.q)
-        ctx.pk = PublicKey(data=pk)
+        ctx.pk = PublicKey(data=pk.astype(_wdt(params)))
     if header.get('advanced'):
         if 'rlk' in header:
             ctx.rlk, offset = _unpack_ksk(header['rlk'], body, offset, params)

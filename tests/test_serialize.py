@@ -128,3 +128,39 @@ def test_two_party_protocol(ckks_ctx):
     # client decrypts
     got = ckks_ctx.decrypt_decode(ckks_ctx.deserialize_ciphertext(blob_out))
     np.testing.assert_allclose(got.real, va * vb, atol=1e-4)
+
+
+def test_word32_roundtrips():
+    """w32 (31-bit-word) chains: ct, compressed ct, and advanced context
+    round-trips restore the u32 dtype (the params header records the word)
+    and decrypt correctly."""
+    chain = gen_ntt_primes(N, 31, 8)
+    q, p = chain[:6], chain[6:8]
+    params = BfvParams.create_custom(N, T, q, p, word_bits=32)
+    ctx = BfvContext.create_random_context(params, seed=41)
+    ctx.gen_rotation_keys_for_rotations([1])
+    rng = np.random.default_rng(9)
+    m = rng.integers(0, T, N, dtype=np.uint64)
+
+    ct = ctx.encrypt(ctx.encode(m, 2))
+    ct2 = S.deserialize_ciphertext(S.serialize_ciphertext(ct, params))
+    assert ct2.data.dtype == np.uint32
+    np.testing.assert_array_equal(ctx.decrypt_decode(ct2), m)
+
+    cct = ctx.encrypt_symmetric_compressed(ctx.encode(m, 2), seed=99)
+    cct2 = S.CompressedCiphertext.deserialize(cct.serialize(params))
+    assert cct2.c0.dtype == np.uint32
+    dec = ctx.compressed_ciphertext_to_ciphertext(cct2)
+    np.testing.assert_array_equal(ctx.decrypt_decode(dec), m)
+
+    blob = S.serialize_context(ctx, advanced=True)
+    ctx2 = S.deserialize_context(blob)
+    assert ctx2.params.word_bits == 32
+    assert ctx2.pk.data.dtype == np.uint32
+    assert ctx2.rlk.key_q.dtype == np.uint32
+    ct3 = ctx2.encrypt(ctx2.encode(m, 2))
+    prod = ctx2.engine.relinearize(
+        np, ctx2.engine.mult(np, ct3, ct3), ctx2.rlk)
+    np.testing.assert_array_equal(
+        ctx2.decrypt_decode(prod),
+        (m.astype(object) * m % T).astype(np.uint64))
