@@ -127,3 +127,26 @@ def test_encrypted_matvec_sparse_diagonals(ckks_ctx):
     outputs, _ = task.run(ctx, m.pack_inputs(ctx, xv))
     np.testing.assert_allclose(m.decode_output(ctx, outputs), A @ xv,
                                atol=5e-3)
+
+
+def test_encrypted_matvec_w32(tmp_path):
+    """Model zoo on the TPU-native 31-bit-word profile (w32): the compiled
+    task adopts the caller context's RNS word, u32 end-to-end."""
+    from lattisense_tpu.core.modring import gen_ntt_primes
+    from lattisense_tpu.models import EncryptedMatVec
+    chain = gen_ntt_primes(N, 31, 10)
+    q, p = chain[:7], chain[7:10]
+    scale = float(1 << 30)
+    fe = ct.CkksParam.create_custom_param(n=N, q=q, p=p, scale=scale,
+                                          slots=N // 2)
+    params = CkksParams.create_custom(N, q, p, scale=scale, word_bits=32)
+    ctx = CkksContext.create_random_context(params, seed=29)
+    s = fe.slots
+    rng = np.random.default_rng(6)
+    A = rng.uniform(-1, 1, (s, s))
+    m = EncryptedMatVec(fe, A, level=2)
+    task = m.load(ctx)
+    xv = rng.uniform(-1, 1, s)
+    outputs, _ = task.run(ctx, m.pack_inputs(ctx, xv))
+    got = m.decode_output(ctx, outputs)
+    np.testing.assert_allclose(got, A @ xv, atol=5e-2)
