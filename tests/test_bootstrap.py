@@ -307,7 +307,8 @@ def test_bootstrap_w32_full_size():
     fresh = ctx.bootstrap(ct)
     err = np.max(np.abs(ctx.decrypt_decode(fresh).real - msg))
     assert fresh.level >= 8, f'too few limbs left ({fresh.level})'
-    assert err < 5e-4, f'w32 full-size bootstrap err {err:.2e}'
+    # measured 1.119e-6 (2026-08-18, this exact config/seed); 18x margin
+    assert err < 2e-5, f'w32 full-size bootstrap err {err:.2e}'
 
 
 @pytest.mark.skipif(os.environ.get('LATTISENSE_HEAVY_TESTS', '') == '',
