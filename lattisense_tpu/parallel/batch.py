@@ -156,6 +156,36 @@ def make_limb_tp_mult_relin_rescale(engine, level: int, mesh):
     return jax.jit(f), sharded.pad_keys
 
 
+def make_limb_tp_rotate(engine, galois_elt: int, level: int, mesh):
+    """BFV rotate_col (the third headline scenario) through the limb-TP
+    switch: the Galois automorphism is a coefficient permutation — local
+    under both mesh axes — and the key switch of the permuted c1 runs
+    through :class:`ShardedKeySwitcher`. Bit-identical to
+    ``engine.apply_galois`` on coeff-domain input.
+
+    Returns (f, prep_keys): f(a[B,2,L,n], kd) jitted; prep_keys pads the
+    Galois key (``glk.keys[galois_elt]``) into the sharded digit layout.
+    """
+    from ..core import u64 as _u
+    from ..schemes.galois import apply_automorphism_coeff
+    from .keyswitch_sharded import ShardedKeySwitcher
+    sharded = ShardedKeySwitcher(engine.switcher, level, mesh)
+    ring = engine.ring(level)
+    ct_sh = NamedSharding(mesh, ct_batch_spec(False))
+
+    def f(a, kd):
+        a = jax.lax.with_sharding_constraint(a, ct_sh)
+        c0 = apply_automorphism_coeff(jnp, a[:, 0], ring.q, engine.n,
+                                      galois_elt)
+        c1 = apply_automorphism_coeff(jnp, a[:, 1], ring.q, engine.n,
+                                      galois_elt)
+        e0, e1 = sharded.traced(c1, kd)
+        out = jnp.stack([_u.addmod(jnp, c0, e0, ring.q), e1], axis=1)
+        return jax.lax.with_sharding_constraint(out, ct_sh)
+
+    return jax.jit(f), sharded.pad_keys
+
+
 def key_tree(context, galois_elts=()):
     """Context keys → plain array pytree for jit arguments."""
     tree = {'rlk': KeySwitchKey(key_q=context.rlk.key_q, key_p=context.rlk.key_p,

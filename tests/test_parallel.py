@@ -247,3 +247,34 @@ def test_integrated_limb_tp_mult_relin_w32():
         ref = wctx.engine.relinearize(
             np, wctx.engine.mult(np, cts[i], cts[batch + i]), wctx.rlk)
         np.testing.assert_array_equal(out[i], np.asarray(ref.data))
+
+
+@pytest.mark.parametrize('word', [64, 32])
+def test_integrated_limb_tp_rotate(ctx, word):
+    """rotate_col through the limb-TP switch (automorphism local under
+    both axes, key switch explicit-collective) — bit-exact vs
+    engine.apply_galois, on both RNS words."""
+    from lattisense_tpu.parallel.batch import make_limb_tp_rotate
+    from lattisense_tpu.schemes.galois import galois_elt_col
+    if word == 64:
+        wctx, level = ctx, 3
+    else:
+        chain = tuple(gen_ntt_primes(N, 31, 10))
+        q, p = list(chain[:8]), list(chain[8:10])
+        params = BfvParams.create_custom(N, 65537, q, p, word_bits=32)
+        wctx, level = BfvContext.create_random_context(params, seed=27), 7
+    elt = galois_elt_col(1, N)
+    wctx.gen_galois_keys_for_elements([elt])
+    mesh = make_mesh(op=4, limb=2)
+    f, prep = make_limb_tp_rotate(wctx.engine, elt, level, mesh)
+    glk = wctx.glk.keys[elt]
+    kd = prep(glk.key_q, glk.key_p)
+    batch = 4
+    rng = np.random.default_rng(13)
+    msgs = rng.integers(0, 65537, (batch, N), dtype=np.uint64)
+    cts = [wctx.encrypt(wctx.encode(m, level)) for m in msgs]
+    a = np.stack([c.data for c in cts])
+    out = np.asarray(f(a, kd))
+    for i in range(batch):
+        ref = wctx.engine.apply_galois(np, cts[i], elt, glk)
+        np.testing.assert_array_equal(out[i], np.asarray(ref.data))
