@@ -153,7 +153,14 @@ class ShardedKeySwitcher:
             xd = _u.modsum_tree(jnp, terms, qp_q[:, :, None], axis=-2)
             xd = ntt_mod.ntt(jnp, xd, ring_qp)            # (β/D, T, n)
             xd = jnp.pad(xd, ((0, 0), (0, T_pad - T), (0, 0)))
-            # local gadget inner product over this shard's digits
+            return tail(xd, kd)
+
+        def tail(xd, kd):
+            """Gadget inner product + collectives + in-mesh epilogue over
+            this device's NTT-domain digit shard xd (β/D, T_pad, n) — the
+            shared back half of the direct and hoisted (from-digits)
+            entries."""
+            my = jax.lax.axis_index('limb')
             terms = _u.mont_mul(jnp, xd[:, None, :, :], kd, qp_q_pad, qp_pinv_pad)
             acc = _u.modsum_tree(jnp, terms, qp_q_pad, axis=0)   # (2, T_pad, n)
             # reduce over devices + scatter the T axis: each device gets
@@ -240,6 +247,26 @@ class ShardedKeySwitcher:
             out_specs=P('op', None, 'limb', None), check_vma=False)
         self._consts = consts
 
+        # hoisted entry: precomputed NTT-domain digits in (the rns_sp_decomp
+        # pattern — pay decompose/mod-up/NTT once, switch per rotation);
+        # each device slices its digit group and runs the shared tail.
+        def local_digits(xd_full, kd):
+            my = jax.lax.axis_index('limb')
+            bD = beta_pad // D
+            xd = jax.lax.dynamic_slice_in_dim(xd_full, my * bD, bD, axis=0)
+            return tail(xd, kd)
+
+        self._shard_fn_digits = jax.shard_map(
+            local_digits, mesh=self.mesh, in_specs=(P(), P('limb')),
+            out_specs=P(None, 'limb', None), check_vma=False)
+        _digits_jit = jax.jit(self._shard_fn_digits)
+
+        def call_digits(xd, kd):
+            e = np.asarray(_digits_jit(xd, kd))[:, :L, :]
+            return e[0], e[1]
+
+        self._call_digits = call_digits
+
         def call(x, kd):
             e = shard_fn(x, kd, consts['qhat_inv'], consts['qhat_inv_shoup'],
                          consts['src_q'], consts['qhat_conv'])
@@ -264,3 +291,26 @@ class ShardedKeySwitcher:
         bit-identical to KeySwitcher.switch."""
         kd = self.pad_keys(key_q, key_p)
         return self._call(np.asarray(x), kd)
+
+    # ---- hoisted (from-digits) entry ---------------------------------
+    def pad_digits(self, digits):
+        """(β, T, n) NTT-domain digits → the (β_pad, T_pad, n) sharded
+        layout (zero padding annihilates against the zero-padded keys)."""
+        d = _pad_axis(digits, 0, self.beta_pad)
+        return _pad_axis(d, 1, self.T_pad)
+
+    def switch_from_digits(self, digits, key_q, key_p):
+        """Hoisted key switch of precomputed digits
+        (``KeySwitcher.decompose_modup_ntt`` output, (β, T, n)) — the
+        rns_sp_decomp/BSGS pattern where one decomposition is shared by
+        many rotations. Bit-identical to
+        ``KeySwitcher.switch_from_digits`` (coeff-domain output)."""
+        kd = self.pad_keys(key_q, key_p)
+        return self._call_digits(self.pad_digits(np.asarray(digits)), kd)
+
+    def traced_from_digits(self, digits, kd):
+        """Trace-time hoisted switch: ``digits`` already in the padded
+        (β_pad, T_pad, n) layout (see :meth:`pad_digits`), ``kd`` =
+        pad_keys(...). Callable inside jit."""
+        e = self._shard_fn_digits(digits, kd)
+        return e[0, :self.L], e[1, :self.L]
