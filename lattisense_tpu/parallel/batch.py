@@ -186,6 +186,44 @@ def make_limb_tp_rotate(engine, galois_elt: int, level: int, mesh):
     return jax.jit(f), sharded.pad_keys
 
 
+def make_limb_tp_hoisted_rotations(engine, galois_elts, level: int, mesh):
+    """Hoisted rotation bundle (the BSGS linear-transform inner loop,
+    reference rns_sp_decomp + advanced rotate) through the limb-TP switch:
+    one digit decomposition, then each rotation is a local digit
+    permutation (σ_g commutes with the decomposition) + the sharded
+    from-digits switch — the expensive mod-up/NTT is paid once for the
+    whole bundle.
+
+    Returns (f, prep): ``f(ct_data[2,L,n], kds) -> {elt: (2,L,n)}``
+    coeff-domain rotated ciphertexts, jitted; ``prep(glk_keys)`` pads each
+    element's Galois key into the sharded digit layout.
+    """
+    from ..core import u64 as _u
+    from ..schemes.galois import (apply_automorphism_coeff,
+                                  apply_automorphism_ntt)
+    from .keyswitch_sharded import ShardedKeySwitcher
+    sharded = ShardedKeySwitcher(engine.switcher, level, mesh)
+    ring = engine.ring(level)
+    elts = tuple(galois_elts)
+
+    def prep(glk_keys):
+        return {e: sharded.pad_keys(glk_keys[e].key_q, glk_keys[e].key_p)
+                for e in elts}
+
+    def f(data, kds):
+        digits = sharded.pad_digits(
+            engine.switcher.decompose_modup_ntt(jnp, data[1], level))
+        out = {}
+        for e in elts:
+            c0r = apply_automorphism_coeff(jnp, data[0], ring.q, engine.n, e)
+            dr = apply_automorphism_ntt(jnp, digits, engine.n, e)
+            e0, e1 = sharded.traced_from_digits(dr, kds[e])
+            out[e] = jnp.stack([_u.addmod(jnp, c0r, e0, ring.q), e1])
+        return out
+
+    return jax.jit(f), prep
+
+
 def key_tree(context, galois_elts=()):
     """Context keys → plain array pytree for jit arguments."""
     tree = {'rlk': KeySwitchKey(key_q=context.rlk.key_q, key_p=context.rlk.key_p,

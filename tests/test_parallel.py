@@ -278,3 +278,27 @@ def test_integrated_limb_tp_rotate(ctx, word):
     for i in range(batch):
         ref = wctx.engine.apply_galois(np, cts[i], elt, glk)
         np.testing.assert_array_equal(out[i], np.asarray(ref.data))
+
+
+def test_limb_tp_hoisted_rotations(ctx):
+    """Hoisted rotation bundle: one decomposition, per-element digit
+    permutation + sharded from-digits switch — bit-exact vs the engine's
+    rns_sp_decomp + apply_galois_decomposed path."""
+    from lattisense_tpu.parallel.batch import make_limb_tp_hoisted_rotations
+    from lattisense_tpu.schemes.galois import galois_elt_col
+    level = 3
+    elts = [galois_elt_col(s, N) for s in (1, 2, 5)]
+    ctx.gen_galois_keys_for_elements(elts)
+    mesh = make_mesh(op=4, limb=2)
+    f, prep = make_limb_tp_hoisted_rotations(ctx.engine, elts, level, mesh)
+    kds = prep(ctx.glk.keys)
+    rng = np.random.default_rng(19)
+    m = rng.integers(0, T, N, dtype=np.uint64)
+    ct = ctx.encrypt(ctx.encode(m, level))
+    got = f(np.asarray(ct.data), kds)
+    dct = ctx.engine.rns_sp_decomp(np, ct)
+    for e in elts:
+        ref = ctx.engine.apply_galois_decomposed(np, dct, e,
+                                                 ctx.glk.keys[e])
+        np.testing.assert_array_equal(np.asarray(got[e]),
+                                      np.asarray(ref.data))
