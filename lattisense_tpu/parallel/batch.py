@@ -198,6 +198,7 @@ def make_limb_tp_hoisted_rotations(engine, galois_elts, level: int, mesh):
     coeff-domain rotated ciphertexts, jitted; ``prep(glk_keys)`` pads each
     element's Galois key into the sharded digit layout.
     """
+    from ..core import ntt as ntt_mod
     from ..core import u64 as _u
     from ..schemes.galois import (apply_automorphism_coeff,
                                   apply_automorphism_ntt)
@@ -205,19 +206,28 @@ def make_limb_tp_hoisted_rotations(engine, galois_elts, level: int, mesh):
     sharded = ShardedKeySwitcher(engine.switcher, level, mesh)
     ring = engine.ring(level)
     elts = tuple(galois_elts)
+    ntt_dom = engine.params.algo == 'CKKS'   # CKKS cts live in NTT domain
 
     def prep(glk_keys):
         return {e: sharded.pad_keys(glk_keys[e].key_q, glk_keys[e].key_p)
                 for e in elts}
 
     def f(data, kds):
+        c1 = ntt_mod.intt(jnp, data[1], ring) if ntt_dom else data[1]
         digits = sharded.pad_digits(
-            engine.switcher.decompose_modup_ntt(jnp, data[1], level))
+            engine.switcher.decompose_modup_ntt(jnp, c1, level))
         out = {}
         for e in elts:
-            c0r = apply_automorphism_coeff(jnp, data[0], ring.q, engine.n, e)
+            if ntt_dom:
+                c0r = apply_automorphism_ntt(jnp, data[0], engine.n, e)
+            else:
+                c0r = apply_automorphism_coeff(jnp, data[0], ring.q,
+                                               engine.n, e)
             dr = apply_automorphism_ntt(jnp, digits, engine.n, e)
             e0, e1 = sharded.traced_from_digits(dr, kds[e])
+            if ntt_dom:
+                e0 = ntt_mod.ntt(jnp, e0, ring)
+                e1 = ntt_mod.ntt(jnp, e1, ring)
             out[e] = jnp.stack([_u.addmod(jnp, c0r, e0, ring.q), e1])
         return out
 

@@ -302,3 +302,32 @@ def test_limb_tp_hoisted_rotations(ctx):
                                                  ctx.glk.keys[e])
         np.testing.assert_array_equal(np.asarray(got[e]),
                                       np.asarray(ref.data))
+
+
+def test_limb_tp_hoisted_rotations_ckks():
+    """CKKS hoisted bundle (NTT-domain cts): bit-exact vs the engine's
+    rns_sp_decomp + apply_galois_decomposed path."""
+    from lattisense_tpu.params import CkksParams
+    from lattisense_tpu.runtime import CkksContext
+    from lattisense_tpu.parallel.batch import make_limb_tp_hoisted_rotations
+    from lattisense_tpu.schemes.galois import galois_elt_col
+    q = gen_ntt_primes(N, 45, 5)
+    p = gen_ntt_primes(N, 46, 2, exclude=tuple(q))
+    params = CkksParams.create_custom(N, q, p, scale=float(1 << 40))
+    cctx = CkksContext.create_random_context(params, seed=37)
+    level = params.max_level
+    elts = [galois_elt_col(s, N) for s in (1, 3)]
+    cctx.gen_galois_keys_for_elements(elts)
+    mesh = make_mesh(op=4, limb=2)
+    f, prep = make_limb_tp_hoisted_rotations(cctx.engine, elts, level, mesh)
+    kds = prep(cctx.glk.keys)
+    rng = np.random.default_rng(23)
+    v = rng.uniform(-1, 1, params.slots)
+    ct = cctx.encrypt(cctx.encode(v, level))
+    got = f(np.asarray(ct.data), kds)
+    dct = cctx.engine.rns_sp_decomp(np, ct)
+    for e in elts:
+        ref = cctx.engine.apply_galois_decomposed(np, dct, e,
+                                                  cctx.glk.keys[e])
+        np.testing.assert_array_equal(np.asarray(got[e]),
+                                      np.asarray(ref.data))
