@@ -69,6 +69,17 @@ def ckks_mult_relin_rescale(engine, a, b, keys):
                                                   keys['rlk']))
 
 
+def ckks_mult_relin_rescale2(engine, a, b, keys):
+    """CKKS mult + relin + DOUBLE rescale: one multiplicative level on a
+    composite 31-bit chain (limbs_per_level=2, scale ≈ 2^60) — the honest
+    w32 twin of the reference's scale-2^40 u64 measurement
+    (benchmark_cpu.cpp:53-78): each level consumes a prime PAIR, so the
+    per-op work includes both rescales."""
+    out = engine.rescale(jnp, engine.relinearize(jnp, engine.mult(jnp, a, b),
+                                                 keys['rlk']))
+    return engine.rescale(jnp, out)
+
+
 def make_rotate_step(galois_elt: int):
     def rot(engine, a, keys):
         return engine.apply_galois(jnp, a, galois_elt, keys['glk'][galois_elt])

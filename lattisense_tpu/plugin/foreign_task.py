@@ -100,7 +100,7 @@ class ForeignTask:
             raise RuntimeError(
                 f'For argument {arg.arg_id}, expected size is {expected_size}, '
                 f'but input size is {len(arg.flat)}.')
-        if row['type'] != 'pt_ringt' and arg.level != row['level']:
+        if arg.level != row['level']:
             raise RuntimeError(
                 f'For argument {arg.arg_id}, expected level is {row["level"]}, '
                 f'but input level is {arg.level}.')
@@ -137,8 +137,12 @@ class ForeignTask:
     def run(self, rlk=None, glk=None, args=(), mf_nbits: int = 0):
         """args: list of ForeignVectorArgument, positional per the online-in
         signature rows. Returns ({output_id: CCiphertext _Exported}, ns)."""
-        in_rows = [r for r in self.signature['online'] if r['phase'] == 'in']
-        in_rows += self.signature.get('offline', [])
+        # reference semantics (plug-in/SEAL/acc/check_sig.h:209-211 and
+        # cxx_sdk_v2/check_sig.h:244-246): when the offline signature is
+        # non-empty it REPLACES the online one for argument checking.
+        offline = self.signature.get('offline', [])
+        rows = offline if offline else self.signature['online']
+        in_rows = [r for r in rows if r['phase'] in ('in', 'offline')]
         if len(args) != len(in_rows):
             raise RuntimeError(f'expected {len(in_rows)} arguments, '
                                f'got {len(args)}.')

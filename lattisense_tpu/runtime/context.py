@@ -132,22 +132,47 @@ class FheContext:
 
     def encrypt_symmetric_compressed(self, pt, seed=None):
         if self.sk is None:
-            raise RuntimeError('compressed encryption requires the secret key')
+            raise RuntimeError(
+                'Context does not have sk and the corresponding encryptor.')
         return self.engine.encrypt_symmetric_compressed(self.rng, self.sk, pt, seed)
 
     def compressed_ciphertext_to_ciphertext(self, cct):
         return self.engine.decompress_ciphertext(cct)
 
+    # ---- argument validation (reference-verbatim error strings,
+    #      unittests/test_lattigo.cpp:2049-2128) ---------------------------
+    def _max_message_len(self) -> int:
+        return self.params.n
+
+    def _check_message(self, values, level):
+        try:
+            length = len(values)
+        except TypeError:
+            length = np.asarray(values).size
+        if length == 0 or length > self._max_message_len():
+            raise RuntimeError('Invalid message length.')
+        if level is not None and not 0 <= level <= self.params.max_level:
+            raise RuntimeError('Invalid level.')
+
+    @staticmethod
+    def _check_same_level(a, b):
+        la, lb = getattr(a, 'level', None), getattr(b, 'level', None)
+        if la is not None and lb is not None and la != lb:
+            raise RuntimeError('x0 and x1 have different levels.')
+
     # ---- encode / encrypt / decrypt -------------------------------------
     def encode(self, values, level=None, **kw):
         level = self.params.max_level if level is None else level
+        self._check_message(values, level)
         return self.engine.encode(values, level, **kw)
 
     def encode_ringt(self, values, **kw):
+        self._check_message(values, None)
         return self.engine.encode_ringt(values, **kw)
 
     def encode_mul(self, values, level=None, **kw):
         level = self.params.max_level if level is None else level
+        self._check_message(values, level)
         return self.engine.encode_mul(values, level, **kw)
 
     def encrypt(self, pt):
@@ -155,33 +180,39 @@ class FheContext:
 
     def encrypt_symmetric(self, pt):
         if self.sk is None:
-            raise RuntimeError('symmetric encryption requires the secret key')
+            raise RuntimeError(
+                'Context does not have sk and the corresponding encryptor.')
         return self.engine.encrypt_symmetric(self.rng, self.sk, pt)
 
     def decrypt(self, ct):
         if self.sk is None:
-            raise RuntimeError('cannot decrypt with a public context')
+            raise RuntimeError('Context does not have sk and decryptor.')
         return self.engine.decrypt(self.sk, ct)
 
     def decrypt_decode(self, ct):
         if self.sk is None:
-            raise RuntimeError('cannot decrypt with a public context')
+            raise RuntimeError('Context does not have sk and decryptor.')
         return self.engine.decrypt_decode(self.sk, ct)
 
     # ---- eager eval ops (host NumPy; device path goes through FheTask) ---
     def add(self, a, b):
+        self._check_same_level(a, b)
         return self.engine.add(np, a, b)
 
     def sub(self, a, b):
+        self._check_same_level(a, b)
         return self.engine.sub(np, a, b)
 
     def neg(self, a):
         return self.engine.neg(np, a)
 
     def mult(self, a, b):
+        self._check_same_level(a, b)
         return self.engine.mult(np, a, b)
 
     def relinearize(self, ct3):
+        if self.rlk is None:
+            raise RuntimeError('Context does not have a relinearization key.')
         return self.engine.relinearize(np, ct3, self.rlk)
 
     def mult_relin(self, a, b):
@@ -258,7 +289,7 @@ class BfvContext(FheContext):
 
     def decrypt_coeffs(self, ct):
         if self.sk is None:
-            raise RuntimeError('cannot decrypt with a public context')
+            raise RuntimeError('Context does not have sk and decryptor.')
         return self.engine.decrypt_coeffs(self.sk, ct)
 
     def noise_budget(self, ct) -> float:
@@ -272,6 +303,9 @@ class BfvContext(FheContext):
 
 class CkksContext(FheContext):
     engine_cls = CkksEngine
+
+    def _max_message_len(self) -> int:
+        return self.params.slots
 
     def poly_eval_relu_function(self, ct, degree: int = 15, bound: float = 1.0):
         """Polynomial ReLU activation (reference poly_eval_relu_function,

@@ -37,6 +37,8 @@ def pack_bits(vals: np.ndarray, width: int) -> bytes:
 
 
 def unpack_bits(data: bytes, width: int, count: int) -> np.ndarray:
+    if len(data) < (count * width + 7) // 8:
+        raise ValueError('truncated serialized data')
     bits = np.unpackbits(np.frombuffer(data, np.uint8), count=count * width)
     full = np.zeros((count, 64), np.uint8)
     full[:, 64 - width:] = bits.reshape(count, width)
@@ -156,6 +158,8 @@ def _pack_bigints(X: np.ndarray, width_bits: int) -> bytes:
 
 
 def _unpack_bigints(data: bytes, width_bits: int, count: int) -> np.ndarray:
+    if len(data) < (count * width_bits + 7) // 8:
+        raise ValueError('truncated serialized data')
     nbytes = (width_bits + 7) // 8
     bits = np.unpackbits(np.frombuffer(data, np.uint8), count=count * width_bits)
     full = np.zeros((count, nbytes * 8), np.uint8)

@@ -116,6 +116,49 @@ def test_signature_error_strings(setup):
                      ForeignVectorArgument('y', good.struct)], mf_nbits=64)
 
 
+def test_offline_signature_replaces_online(setup):
+    """Reference semantics (plug-in/SEAL/acc/check_sig.h:209-211): a
+    non-empty offline signature REPLACES the online one for argument
+    checking — args are validated positionally against the offline rows."""
+    params, level, task_dir, ctx = setup
+    q, p = list(params.q), list(params.p)
+    fe = BfvParam.create_custom_param(N, q, p, T)
+    off_dir = tempfile.mkdtemp(prefix='plugin_offline_')
+    ctk.set_fhe_param(fe)
+    a = ctk.BfvCiphertextNode('a', level)
+    b = ctk.BfvCiphertextNode('b', level)
+    c = ctk.add(a, b, 'c')
+    ctk.process_custom_task(
+        [], [ctk.Argument('c', c)], output_instruction_path=off_dir,
+        offline_input_args=[ctk.Argument('a', a), ctk.Argument('b', b)])
+
+    rng = np.random.default_rng(5)
+    m1 = rng.integers(0, T, N, dtype=np.uint64)
+    m2 = rng.integers(0, T, N, dtype=np.uint64)
+    a_exp = abi.export_ciphertext(ctx.encrypt(ctx.encode(m1, level)))
+    b_exp = abi.export_ciphertext(ctx.encrypt(ctx.encode(m2, level)))
+
+    ft = ForeignTask(off_dir, mode='eager')
+    assert ft.signature['offline'], 'task must carry an offline signature'
+    outs, _ = ft.run(args=[ForeignVectorArgument('a', a_exp.struct),
+                           ForeignVectorArgument('b', b_exp.struct)])
+    got = ctx.decrypt_decode(abi.import_ciphertext(outs['c'].struct))
+    np.testing.assert_array_equal(got, (m1 + m2) % T)
+
+    # wrong positional id against the OFFLINE rows (reference error string)
+    with pytest.raises(RuntimeError,
+                       match='For argument b, expected id is a'):
+        ft.run(args=[ForeignVectorArgument('b', b_exp.struct),
+                     ForeignVectorArgument('a', a_exp.struct)])
+
+    # pt_ringt rows are level-checked like everything else (reference
+    # check_with_sig has no pt exemption)
+    wrong = abi.export_ciphertext(ctx.encrypt(ctx.encode(m1, level - 1)))
+    with pytest.raises(RuntimeError, match='expected level is 2'):
+        ft.run(args=[ForeignVectorArgument('a', wrong.struct),
+                     ForeignVectorArgument('b', b_exp.struct)])
+
+
 def test_keyswitch_key_abi_roundtrip(setup):
     params, level, task_dir, ctx = setup
     qp_ring = get_rns_ring(tuple(params.q) + tuple(params.p), params.n)
