@@ -163,13 +163,20 @@ def _bz_key(bz):
 
 
 def _expand_rows(tbl, logn, sub):
-    """Per-stage (R, m, width) expansions of a stacked (R, n) u32 table."""
+    """Per-stage (R, m, width) expansions of a stacked (R, n) u32 table.
+    Non-transposed (phase A) stages use the compact (m, 1) splat form —
+    the value is constant over t, and streaming the pre-expanded width
+    through VMEM was measured at ~17% of the fused-NTT kernel time
+    (round-3 splat experiment; the kernel broadcasts along lanes)."""
+    from .ntt_pallas32 import _SPLAT
     n = 1 << logn
     out = []
     for m, t, transposed in _stage_plan(logn):
         m_orig = n // (2 * t)
         if not transposed:
-            idx = np.broadcast_to((m_orig + np.arange(m))[:, None], (m, t))
+            width = 1 if _SPLAT else t
+            idx = np.broadcast_to((m_orig + np.arange(m))[:, None],
+                                  (m, width))
         else:
             blk = LANES // (2 * t)
             g = np.arange(m)[:, None, None]
@@ -503,11 +510,14 @@ def _k3_consts(key):
                          np.asarray(ra.psi_inv_rev_shoup, dtype=np.uint32)])
 
     def expand_inv(tbl):
+        from .ntt_pallas32 import _SPLAT
         out = []
         for m, t, transposed in _inv_stage_plan(logn):
             m_orig = n // (2 * t)
             if not transposed:
-                idx = np.broadcast_to((m_orig + np.arange(m))[:, None], (m, t))
+                width = 1 if _SPLAT else t
+                idx = np.broadcast_to((m_orig + np.arange(m))[:, None],
+                                      (m, width))
             else:
                 blk = LANES // (2 * t)
                 g = np.arange(m)[:, None, None]

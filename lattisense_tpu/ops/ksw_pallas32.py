@@ -210,13 +210,25 @@ def _sw_key(switcher, level):
     return key
 
 
+import os as _os
+
+# independent gate: the ksw kernel's stage tables are shared across all
+# digit rows (already amortized), so the splat economics differ from the
+# standalone NTT kernels — A/B'd separately on chip.
+_KSW_SPLAT = _os.environ.get('LATTISENSE_KSW32_SPLAT', '0') not in ('', '0')
+
+
 def _expand(tbl, plan, logn, sub):
     n = 1 << logn
     out = []
     for m, t, transposed in plan:
         m_orig = n // (2 * t)
         if not transposed:
-            idx = np.broadcast_to((m_orig + np.arange(m))[:, None], (m, t))
+            # phase-A twiddles are constant over t: compact (m, 1) splat
+            # tables + in-kernel lane broadcast (see ntt_pallas32)
+            width = 1 if _KSW_SPLAT else t
+            idx = np.broadcast_to((m_orig + np.arange(m))[:, None],
+                                  (m, width))
         else:
             blk = LANES // (2 * t)
             g = np.arange(m)[:, None, None]

@@ -11,9 +11,20 @@ Mosaic lowers `reshape(R, m, 2, t) + stack(axis=2)` butterflies at
 `(R, m, 2t)`), slice the two last-axis halves, `concatenate` them back
 on the last axis — at ~2.3 Tops/s, independent of the block count m
 (14 stages of 256 limb-rows in 0.34-0.45 ms vs 2.5-3.9 ms). The entire
-kernel is therefore expressed with last-axis slices/concats only, and
-every stage's twiddles are PRE-EXPANDED host-side to the exact (m, t)
-broadcast shape so no table reshape/relayout happens in-kernel.
+kernel is therefore expressed with last-axis slices/concats only.
+
+Twiddle residency (round-3, chip-measured 2026-08-19): phase-A (t >= 128)
+twiddles are constant over t, so they ship as compact (m, 1) SPLAT tables
+and broadcast along lanes in-kernel — fwd 2.92 -> 2.42 us/limb-row
+(LATTISENSE_NTT32_SPLAT=0 restores the pre-expanded (m, t) streams).
+Two measured NEGATIVE variants, kept for the record: compact phase-B
+tables (LATTISENSE_NTT32_SPLATB=1: (m, sub) + an in-kernel 4D reshape)
+regress fwd to 3.32 — the reshape relayout tax exceeds the saved
+traffic; and the perm-layout pair (ntt_fused32_perm/intt_fused32_perm:
+skip the in-kernel un-/re-transpose across pointwise NTT-domain ops)
+loses isolated round trips 24.0 vs 7.7 us/limb-row — storing the
+transposed view into a (rows, n) out_ref forces a Mosaic relayout that
+costs more than the swapaxes it removes.
 
 Structure:
 
@@ -87,10 +98,15 @@ def _submod32(a, b, q):
 # kernels (one per direction; all stages + the tile transpose inside)
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(logn, rows, q_ref, x_ref, *refs):
+def _fwd_kernel(logn, rows, perm_out, q_ref, x_ref, *refs):
     """CT forward, natural input -> bit-reversed output in the transposed
     tile layout. refs = w_0, ws_0, w_1, ws_1, ... one (1, m, t[*sub])
-    pre-expanded pair per stage."""
+    pre-expanded pair per stage. ``perm_out=True`` keeps the output in the
+    transposed tile layout (position b*sub + a holds standard-order
+    element a*LANES + b) — skipping the in-kernel un-transpose; pointwise
+    NTT-domain consumers don't care about coefficient order and the
+    inverse kernel's sub-lane phase WANTS exactly this layout (perm_in),
+    so a fwd→pointwise→inv chain saves BOTH relayouts."""
     n = 1 << logn
     sub = n // LANES
     limb = pl.program_id(0)
@@ -122,26 +138,38 @@ def _fwd_kernel(logn, rows, q_ref, x_ref, *refs):
         ws = refs[2 * si + 1][...]
         p = v.reshape(rows, mb, 2 * tb * sub)
         u = p[..., :tb * sub]
-        b = _shoup32(p[..., tb * sub:], w, ws, q)
+        hv = p[..., tb * sub:]
+        if w.shape[-1] != tb * sub:      # compact (m, sub) table: the
+            hv = hv.reshape(rows, mb, tb, sub)       # value is constant
+            b = _shoup32(hv, w[:, :, None, :],       # over the tb axis
+                         ws[:, :, None, :], q).reshape(rows, mb, tb * sub)
+        else:
+            b = _shoup32(hv, w, ws, q)
         v = jnp.concatenate([_addmod32(u, b, q), _submod32(u, b, q)],
                             axis=-1)
         si += 1
-    # undo the tile transpose in VMEM: output in standard bit-reversed order
-    v = v.reshape(rows, LANES, sub).swapaxes(1, 2)
+    if not perm_out:
+        # undo the tile transpose in VMEM: standard bit-reversed order
+        v = v.reshape(rows, LANES, sub).swapaxes(1, 2)
     o_ref = refs[-1]
     o_ref[...] = v.reshape(rows, n)
 
 
-def _inv_kernel(logn, rows, qn_ref, x_ref, *refs):
+def _inv_kernel(logn, rows, perm_in, qn_ref, x_ref, *refs):
     """Plain GS inverse, bit-reversed input -> natural output, ASCENDING
     distances (the fold idiom removes the old ascending-sequence penalty),
     then the n^-1 scale. Sub-lane distances t < 128 run first in the
-    transposed tile layout; no external bit-reversal passes needed."""
+    transposed tile layout; no external bit-reversal passes needed.
+    ``perm_in=True`` takes input already in the transposed tile layout
+    (the fwd kernel's perm_out) and skips the initial transpose."""
     n = 1 << logn
     sub = n // LANES
     limb = pl.program_id(0)
     q = qn_ref[limb, 0]
-    v = x_ref[...].reshape(rows, sub, LANES).swapaxes(1, 2)
+    if perm_in:
+        v = x_ref[...]
+    else:
+        v = x_ref[...].reshape(rows, sub, LANES).swapaxes(1, 2)
     si = 0
     tb = 1
     while tb < LANES:
@@ -152,7 +180,13 @@ def _inv_kernel(logn, rows, qn_ref, x_ref, *refs):
         u = p[..., :tb * sub]
         b = p[..., tb * sub:]
         s = _addmod32(u, b, q)
-        d = _shoup32(_submod32(u, b, q), w, ws, q)
+        dd = _submod32(u, b, q)
+        if w.shape[-1] != tb * sub:      # compact (m, sub) table
+            dd = dd.reshape(rows, mb, tb, sub)
+            d = _shoup32(dd, w[:, :, None, :],
+                         ws[:, :, None, :], q).reshape(rows, mb, tb * sub)
+        else:
+            d = _shoup32(dd, w, ws, q)
         v = jnp.concatenate([s, d], axis=-1)
         si += 1
         tb *= 2
@@ -206,12 +240,15 @@ def _stage_plan(logn):
 
 
 @functools.lru_cache(maxsize=None)
-def _tables(ring_key):
+def _tables(ring_key, splat: bool = False, splatb: bool = False):
     """Forward per-stage tables, each expanded to (L, m, width):
     phase A width=t (value psi_rev[m+g], constant over t); phase B
     width=tb*sub (entry [g, jj*sub + a] = psi_rev[m_orig + a*(128/2t) + g],
     m_orig = n/(2t) — derived from the original butterfly block index of
-    position a*LANES + g*2t + jj)."""
+    position a*LANES + g*2t + jj). ``splat=True`` stores phase-A tables as
+    (L, m, 1) and lets the kernel broadcast along lanes — the twiddle
+    value is constant over t, so the pre-expansion streams n/2 redundant
+    words per stage through VMEM."""
     ring, = _RING_STASH[ring_key]
     n = ring.n
     L = len(ring.moduli)
@@ -224,14 +261,19 @@ def _tables(ring_key):
     stages = []
     for m, t, transposed in _stage_plan(logn):
         if not transposed:
-            idx = np.broadcast_to((m + np.arange(m))[:, None], (m, t))
+            width = 1 if splat else t
+            idx = np.broadcast_to((m + np.arange(m))[:, None], (m, width))
         else:
             m_orig = n // (2 * t)
             blk = LANES // (2 * t)
             g = np.arange(m)[:, None, None]
             a = np.arange(sub)[None, None, :]
-            idx = np.broadcast_to(m_orig + a * blk + g,
-                                  (m, t, sub)).reshape(m, t * sub)
+            if splatb and t > 1:
+                # compact: the value is constant over the t axis
+                idx = (m_orig + a * blk + g)[:, 0, :]          # (m, sub)
+            else:
+                idx = np.broadcast_to(m_orig + a * blk + g,
+                                      (m, t, sub)).reshape(m, t * sub)
         stages.append((np.ascontiguousarray(tw[:, idx]),
                        np.ascontiguousarray(ts[:, idx])))
     q = np.asarray(ring.q, dtype=np.uint32).reshape(L, 1)           # (L, 1)
@@ -254,7 +296,7 @@ def _inv_stage_plan(logn):
 
 
 @functools.lru_cache(maxsize=None)
-def _itables(ring_key):
+def _itables(ring_key, splat: bool = False, splatb: bool = False):
     """Inverse (plain GS) per-stage tables: psi_inv_rev[m + g_orig] with
     the same block-index expansion as the forward tables."""
     ring, = _RING_STASH[ring_key]
@@ -270,13 +312,17 @@ def _itables(ring_key):
     for m, t, transposed in _inv_stage_plan(logn):
         m_orig = n // (2 * t)
         if not transposed:
-            idx = np.broadcast_to((m_orig + np.arange(m))[:, None], (m, t))
+            width = 1 if splat else t
+            idx = np.broadcast_to((m_orig + np.arange(m))[:, None], (m, width))
         else:
             blk = LANES // (2 * t)
             g = np.arange(m)[:, None, None]
             a = np.arange(sub)[None, None, :]
-            idx = np.broadcast_to(m_orig + a * blk + g,
-                                  (m, t, sub)).reshape(m, t * sub)
+            if splatb and t > 1:
+                idx = (m_orig + a * blk + g)[:, 0, :]          # (m, sub)
+            else:
+                idx = np.broadcast_to(m_orig + a * blk + g,
+                                      (m, t, sub)).reshape(m, t * sub)
         stages.append((np.ascontiguousarray(tinv[:, idx]),
                        np.ascontiguousarray(tinv_s[:, idx])))
 
@@ -302,7 +348,7 @@ _CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024,
 
 
 def _run(kernel, x, stage_tabs, smem_tab, *, logn, L, rows_per_block,
-         smem_cols):
+         smem_cols, perm=False):
     n = 1 << logn
     total_rows = x.shape[0] // L
     R = rows_per_block
@@ -324,7 +370,7 @@ def _run(kernel, x, stage_tabs, smem_tab, *, logn, L, rows_per_block,
 
     interp = jax.default_backend() == 'cpu'
     f = pl.pallas_call(
-        functools.partial(kernel, logn, R),
+        functools.partial(kernel, logn, R, perm),
         interpret=interp,
         compiler_params=_CPARAMS,
         grid=grid,
@@ -350,26 +396,32 @@ def _regroup(x, L, n, rows_per_block):
     return xr.reshape(-1, n), batch, batch + pad_rows, shape
 
 
-def _ntt_fused_impl(x, ring, rows_per_block: int = 8):
+import os as _os
+
+_SPLAT = _os.environ.get('LATTISENSE_NTT32_SPLAT', '1') not in ('', '0')
+_SPLATB = _os.environ.get('LATTISENSE_NTT32_SPLATB', '0') not in ('', '0')
+
+
+def _ntt_fused_impl(x, ring, rows_per_block: int = 8, perm: bool = False):
     key = _stash(ring)
     # tables stay numpy in the cache: converting to jax arrays here would
     # create per-trace constants, and caching those leaks tracers
-    logn, L, sub, stages, q = _tables(key)
+    logn, L, sub, stages, q = _tables(key, _SPLAT, _SPLATB)
     n = 1 << logn
     xr, batch, batch_p, shape = _regroup(x, L, n, rows_per_block)
     out = _run(_fwd_kernel, xr, stages, q, logn=logn, L=L,
-               rows_per_block=rows_per_block, smem_cols=1)
+               rows_per_block=rows_per_block, smem_cols=1, perm=perm)
     out = out.reshape(L, batch_p, n)[:, :batch]
     return jnp.moveaxis(out, 0, 1).reshape(shape)
 
 
-def _intt_fused_impl(x, ring, rows_per_block: int = 8):
+def _intt_fused_impl(x, ring, rows_per_block: int = 8, perm: bool = False):
     key = _stash(ring)
-    logn, L, sub, stages, qn = _itables(key)
+    logn, L, sub, stages, qn = _itables(key, _SPLAT, _SPLATB)
     n = 1 << logn
     xr, batch, batch_p, shape = _regroup(x, L, n, rows_per_block)
     out = _run(_inv_kernel, xr, stages, qn, logn=logn, L=L,
-               rows_per_block=rows_per_block, smem_cols=3)
+               rows_per_block=rows_per_block, smem_cols=3, perm=perm)
     out = out.reshape(L, batch_p, n)[:, :batch]
     return jnp.moveaxis(out, 0, 1).reshape(shape)
 
@@ -377,19 +429,19 @@ def _intt_fused_impl(x, ring, rows_per_block: int = 8):
 _VMAP_CACHE: dict = {}
 
 
-def _vmap_entry(ring, rows_per_block, impl, tag):
+def _vmap_entry(ring, rows_per_block, impl, tag, perm=False):
     # jax.vmap would run the kernel per batch element (8x padding waste);
     # collapse the mapped axis into the kernels' native batch dim instead.
-    key = (tuple(ring.moduli), ring.n, rows_per_block, tag)
+    key = (tuple(ring.moduli), ring.n, rows_per_block, tag, perm)
     f = _VMAP_CACHE.get(key)
     if f is None:
         @jax.custom_batching.custom_vmap
         def f(x):
-            return impl(x, ring, rows_per_block)
+            return impl(x, ring, rows_per_block, perm)
 
         @f.def_vmap
         def _rule(axis_size, in_batched, xb):
-            return impl(xb, ring, rows_per_block), True
+            return impl(xb, ring, rows_per_block, perm), True
 
         _VMAP_CACHE[key] = f
     return f
@@ -403,3 +455,40 @@ def ntt_fused32(x, ring, rows_per_block: int = 8):
 def intt_fused32(x, ring, rows_per_block: int = 8):
     """Inverse NTT over (..., L, n) u32, bit-identical to core.ntt.intt."""
     return _vmap_entry(ring, rows_per_block, _intt_fused_impl, 'inv32')(x)
+
+
+# ---------------------------------------------------------------------------
+# permuted-layout entries: NTT domain in the transposed tile layout
+# ---------------------------------------------------------------------------
+# Position b*sub + a of a perm-layout array holds standard-order element
+# a*LANES + b (sub = n/128). fwd(perm_out) skips the in-kernel un-transpose
+# and inv(perm_in) skips the in-kernel transpose — a fwd → pointwise → inv
+# chain never relayouts. NTT-domain CONSTANTS (keys, pt_mul operands) must
+# be permuted once host-side with perm_layout().
+
+def perm_layout(x, n: int):
+    """Standard bit-reversed order → transposed tile layout (last axis)."""
+    lead = x.shape[:-1]
+    return x.reshape(*lead, n // LANES, LANES).swapaxes(-1, -2).reshape(
+        *lead, n)
+
+
+def unperm_layout(x, n: int):
+    """Transposed tile layout → standard bit-reversed order (last axis)."""
+    lead = x.shape[:-1]
+    return x.reshape(*lead, LANES, n // LANES).swapaxes(-1, -2).reshape(
+        *lead, n)
+
+
+def ntt_fused32_perm(x, ring, rows_per_block: int = 8):
+    """Forward NTT with perm-layout output: equals
+    perm_layout(ntt_fused32(x), n)."""
+    return _vmap_entry(ring, rows_per_block, _ntt_fused_impl, 'fwd32',
+                       perm=True)(x)
+
+
+def intt_fused32_perm(x, ring, rows_per_block: int = 8):
+    """Inverse NTT taking perm-layout input: intt_fused32_perm(
+    ntt_fused32_perm(x)) == x."""
+    return _vmap_entry(ring, rows_per_block, _intt_fused_impl, 'inv32',
+                       perm=True)(x)

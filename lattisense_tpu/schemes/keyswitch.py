@@ -233,12 +233,16 @@ class KeySwitcher:
         if getattr(x, 'dtype', None) is not None:
             from ..core import ntt as ntt_mod
             if (ntt_mod._pallas32_ok(xp, self.n, x.dtype)
-                    and os.environ.get('LATTISENSE_KSW32', '0') not in ('', '0')):
-                # fused single-kernel switch — bit-identical but measured
-                # at PARITY with the default path (relin 280 vs 259 us/op:
-                # the NTT/INTT islands inside the default path are already
-                # the fold-idiom kernels, so the fusion saves little and
-                # the composition tax eats it). Opt-in for experimentation.
+                    and os.environ.get('LATTISENSE_KSW32', '1') not in ('', '0')):
+                # fused single-kernel switch — bit-identical; DEFAULT ON
+                # for w32 on TPU since round 3. Interleaved in-process
+                # A/B (benchmarks/ksw_ab_probe.py, chip 2026-08-19):
+                # fused 827.3 vs XLA 820.2 ops/s headline — ~+1%, parity
+                # within noise, and one kernel instead of an XLA
+                # composition (less HBM, smaller programs). Single-shot
+                # tunnel readings swing up to ±20% between processes —
+                # only interleaved same-process A/Bs are decision-grade.
+                # LATTISENSE_KSW32=0 restores the XLA path.
                 from ..ops.ksw_pallas32 import ksw_switch32
                 return ksw_switch32(x, ksk, self, level, output_ntt)
         digits = self.decompose_modup_ntt(xp, x, level)
