@@ -136,6 +136,85 @@ def main():
         ms = (t2 - t1) / 4 / B * 1e3
         print(f'limb-TP x{limb}: {ms:8.2f} ms/op latency', flush=True)
 
+    # ---- INTEGRATED op×limb pipeline THROUGHPUT (VERDICT r2 item 7) ----
+    # ops/s of make_limb_tp_mult_relin and the hoisted-rotation bundle at
+    # 2/4/8 virtual devices (limb=2 × op=d/2), normalized per device
+    # against the d=2 point. Honest reading on a CPU box: points with
+    # devices <= physical cores measure SPMD efficiency, beyond that core
+    # starvation (printed with each row). One JSON line per row for the
+    # MULTICHIP/BENCH artifacts.
+    import json
+    from lattisense_tpu.parallel.batch import (make_limb_tp_mult_relin,
+                                               make_limb_tp_hoisted_rotations)
+    from lattisense_tpu.frontend.custom_task import get_glk_col
+    from lattisense_tpu.schemes.galois import galois_elt_col
+
+    cores = os.cpu_count()
+    base_mr = base_rot = None
+    steps = [1, 2]
+    elts = [galois_elt_col(s, n) for s in steps]
+    ctx_tp.gen_galois_keys_for_elements(elts)
+    for d in (2, 4, 8):
+        if d > n_dev or (level + 1) % 2:
+            continue
+        mesh = make_mesh(op=d // 2, limb=2, devices=jax.devices()[:d])
+        B = args.per_device_batch * (d // 2)
+        f_mr, prep = make_limb_tp_mult_relin(ctx_tp.engine, level, mesh)
+        kd = prep(ctx_tp.rlk.key_q, ctx_tp.rlk.key_p)
+        a = shard(mesh, np.tile(c0t.data[None], (B, 1, 1, 1)),
+                  ct_batch_spec(False))
+        b = shard(mesh, np.tile(c1t.data[None], (B, 1, 1, 1)),
+                  ct_batch_spec(False))
+        np.asarray(f_mr(a, b, kd)).ravel()[:2]
+
+        def run_mr(k):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(k):
+                o = f_mr(a, b, kd)
+            np.asarray(o).ravel()[:2]
+            return time.perf_counter() - t0
+
+        run_mr(2)
+        t1, t2 = run_mr(4), run_mr(8)
+        ops = B / ((t2 - t1) / 4)
+        if base_mr is None:
+            base_mr = ops / d
+        eff = ops / (base_mr * d) * 100
+        starve = ' (core-starved)' if d > cores else ''
+        print(json.dumps({
+            'metric': f'limb_tp_mult_relin_opxlimb_{d}dev_ops_per_s',
+            'value': round(ops, 2), 'unit': 'ops/s',
+            'vs_baseline': round(eff / 100, 3)}) + starve, flush=True)
+
+        try:
+            f_rot, prep_r = make_limb_tp_hoisted_rotations(
+                ctx_tp.engine, elts, level, mesh)
+            kdr = prep_r({e: ctx_tp.glk.keys[e] for e in elts})
+            np.asarray(jax.tree.leaves(f_rot(a, kdr))[0]).ravel()[:2]
+
+            def run_rot(k):
+                t0 = time.perf_counter()
+                o = None
+                for _ in range(k):
+                    o = f_rot(a, kdr)
+                np.asarray(jax.tree.leaves(o)[0]).ravel()[:2]
+                return time.perf_counter() - t0
+
+            run_rot(2)
+            t1, t2 = run_rot(4), run_rot(8)
+            ops = B * len(elts) / ((t2 - t1) / 4)
+            if base_rot is None:
+                base_rot = ops / d
+            eff = ops / (base_rot * d) * 100
+            print(json.dumps({
+                'metric': f'limb_tp_hoisted_rot_opxlimb_{d}dev_ops_per_s',
+                'value': round(ops, 2), 'unit': 'rot/s',
+                'vs_baseline': round(eff / 100, 3)}) + starve, flush=True)
+        except Exception as e:   # hoisted bundle is optional per config
+            print(f'hoisted-rotation point skipped at d={d}: {e}',
+                  flush=True)
+
 
 if __name__ == '__main__':
     main()

@@ -168,17 +168,48 @@ class DistNtt:
     # ------------------------------------------------------------------
     # trace-time bodies (inside shard_map over self.axis)
     # ------------------------------------------------------------------
-    def fwd_body(self, x):
+    def _row_tables(self, rows):
+        """Limb-axis slice of every per-limb table: rows = (start, size),
+        start may be traced (limb×coeff composition: each limb shard
+        transforms only its scattered output-limb rows)."""
+        if rows is None:
+            return (self._q_col, self._pre, self._pre_sh, self._post,
+                    self._post_sh, self._WR, self._WR_sh, self._WRi,
+                    self._WRi_sh, self._twf, self._twf_sh, self._twi,
+                    self._twi_sh, self._ring_C_view)
+        start, size = rows
+
+        def sl(a):
+            return jax.lax.dynamic_slice_in_dim(jnp.asarray(a), start, size,
+                                                axis=0)
+
+        rc = self._ring_C_view
+        view = _RingView(
+            q=sl(rc.q), pinv=sl(rc.pinv), r1=sl(rc.r1), r2=sl(rc.r2),
+            n_inv=sl(rc.n_inv), n_inv_shoup=sl(rc.n_inv_shoup),
+            psi_rev=sl(rc.psi_rev), psi_rev_shoup=sl(rc.psi_rev_shoup),
+            psi_inv_rev=sl(rc.psi_inv_rev),
+            psi_inv_rev_shoup=sl(rc.psi_inv_rev_shoup))
+        return (sl(self._q_col), sl(self._pre), sl(self._pre_sh),
+                sl(self._post), sl(self._post_sh), sl(self._WR),
+                sl(self._WR_sh), sl(self._WRi), sl(self._WRi_sh),
+                sl(self._twf), sl(self._twf_sh), sl(self._twi),
+                sl(self._twi_sh), view)
+
+    def fwd_body(self, x, rows=None):
         """x: local shard (..., L, C) coeff domain → (..., L, C) shard of
-        the global bit-reversed NTT output."""
+        the global bit-reversed NTT output. ``rows=(start, size)`` uses
+        only that limb-row slice of the tables (x's L axis must match)."""
         D, C, axis = self.D, self.C, self.axis
         d = jax.lax.axis_index(axis)
-        q2 = self._q_col                              # (L, 1)
+        (q_col, pre_t, pre_sh_t, _, _, WR, WR_sh, _, _, twf_t, twf_sh_t,
+         _, _, ring_C) = self._row_tables(rows)
+        q2 = q_col                                    # (L, 1)
         q3 = q2[:, None, :]                           # (L, 1, 1)
         q4 = q2[:, None, None, :]                     # (L, 1, 1, 1)
-        pre = jax.lax.dynamic_slice_in_dim(jnp.asarray(self._pre),
+        pre = jax.lax.dynamic_slice_in_dim(jnp.asarray(pre_t),
                                            d * C, C, axis=1)
-        pre_sh = jax.lax.dynamic_slice_in_dim(jnp.asarray(self._pre_sh),
+        pre_sh = jax.lax.dynamic_slice_in_dim(jnp.asarray(pre_sh_t),
                                               d * C, C, axis=1)
         x = _u.shoup_mul(jnp, x, pre, pre_sh, q2)
         lead = x.shape[:-1]
@@ -188,12 +219,11 @@ class DistNtt:
                                 tiled=True)           # (..., L, R=jr, C/D)
         # R-point DFT over jr: (..., L, 1, R, C/D) × (L, R, R, 1)
         terms = _u.shoup_mul(jnp, xs[..., None, :, :],
-                             self._WR[:, :, :, None],
-                             self._WR_sh[:, :, :, None], q4)
+                             WR[:, :, :, None], WR_sh[:, :, :, None], q4)
         B = _u.modsum_tree(jnp, terms, q4, axis=-2)   # (..., L, kr, C/D)
-        twf = jax.lax.dynamic_slice_in_dim(jnp.asarray(self._twf),
+        twf = jax.lax.dynamic_slice_in_dim(jnp.asarray(twf_t),
                                            d * (C // D), C // D, axis=2)
-        twf_sh = jax.lax.dynamic_slice_in_dim(jnp.asarray(self._twf_sh),
+        twf_sh = jax.lax.dynamic_slice_in_dim(jnp.asarray(twf_sh_t),
                                               d * (C // D), C // D, axis=2)
         B = _u.shoup_mul(jnp, B, twf, twf_sh, q3)
         B = jnp.take(B, jnp.asarray(self._brvR), axis=-2)
@@ -201,19 +231,21 @@ class DistNtt:
         B = jax.lax.all_to_all(B, axis, split_axis=ax, concat_axis=ax + 1,
                                tiled=True)            # (..., L, 1, C)
         y = B.reshape(*lead, C)
-        return ntt_mod.ntt(jnp, y, self._ring_C_view)
+        return ntt_mod.ntt(jnp, y, ring_C)
 
-    def inv_body(self, y):
+    def inv_body(self, y, rows=None):
         """Inverse of fwd_body: local shard of the bit-reversed NTT →
         local shard of the natural-order coefficients (×n^{-1})."""
         D, C, axis = self.D, self.C, self.axis
         d = jax.lax.axis_index(axis)
-        q2 = self._q_col
+        (q_col, _, _, post_t, post_sh_t, _, _, WRi, WRi_sh, _, _,
+         twi_t, twi_sh_t, ring_C) = self._row_tables(rows)
+        q2 = q_col
         q4 = q2[:, None, None, :]
-        z = ntt_mod.intt(jnp, y, self._ring_C_view)   # (..., L, C)
-        twi = jax.lax.dynamic_slice_in_dim(jnp.asarray(self._twi),
+        z = ntt_mod.intt(jnp, y, ring_C)              # (..., L, C)
+        twi = jax.lax.dynamic_slice_in_dim(jnp.asarray(twi_t),
                                            d, 1, axis=1)[:, 0]
-        twi_sh = jax.lax.dynamic_slice_in_dim(jnp.asarray(self._twi_sh),
+        twi_sh = jax.lax.dynamic_slice_in_dim(jnp.asarray(twi_sh_t),
                                               d, 1, axis=1)[:, 0]
         z = _u.shoup_mul(jnp, z, twi, twi_sh, q2)     # B[kr=brv(d), jc]
         lead = z.shape[:-1]
@@ -223,16 +255,15 @@ class DistNtt:
                                 tiled=True)           # axis -2: src s → kr=brv(s)
         zs = jnp.take(zs, jnp.asarray(self._brvR), axis=-2)  # natural kr
         terms = _u.shoup_mul(jnp, zs[..., None, :, :],
-                             self._WRi[:, :, :, None],
-                             self._WRi_sh[:, :, :, None], q4)
+                             WRi[:, :, :, None], WRi_sh[:, :, :, None], q4)
         M = _u.modsum_tree(jnp, terms, q4, axis=-2)   # (..., L, jr, C/D)
         ax = M.ndim - 2
         M = jax.lax.all_to_all(M, axis, split_axis=ax, concat_axis=ax + 1,
                                tiled=True)
         M = M.reshape(*lead, C)
-        post = jax.lax.dynamic_slice_in_dim(jnp.asarray(self._post),
+        post = jax.lax.dynamic_slice_in_dim(jnp.asarray(post_t),
                                             d * C, C, axis=1)
-        post_sh = jax.lax.dynamic_slice_in_dim(jnp.asarray(self._post_sh),
+        post_sh = jax.lax.dynamic_slice_in_dim(jnp.asarray(post_sh_t),
                                                d * C, C, axis=1)
         return _u.shoup_mul(jnp, M, post, post_sh, q2)
 
@@ -345,6 +376,202 @@ class CoeffShardedKeySwitcher:
         kd = self.prep_keys(ksk)
         e = np.asarray(self._switch_jit(np.asarray(x), kd))
         return e[0], e[1]
+
+
+class LimbCoeffKeySwitcher:
+    """2-D kernel sharding: hybrid key switch over a ('limb', 'coeff')
+    mesh — the composition VERDICT r2 item 1 asks for.
+
+    The digit (β) axis is sharded over ``limb`` exactly as
+    ShardedKeySwitcher (each device computes its digit group's mod-up +
+    distributed NTT + key product locally, one psum_scatter reduces over
+    devices and scatters the T output-limb axis), while every polynomial's
+    coefficient axis is simultaneously sharded over ``coeff`` (DistNtt's
+    all_to_alls run only over the coeff axis; all other stages stay
+    pointwise-local). TP width becomes D_limb × D_coeff, lifting the limb
+    axis's β ≤ ⌈(L+1)/α⌉ cap.
+    """
+
+    def __init__(self, switcher, level: int, mesh,
+                 limb_axis: str = 'limb', coeff_axis: str = 'coeff'):
+        self.sw = switcher
+        self.level = level
+        self.mesh = mesh
+        self.limb_axis = limb_axis
+        self.coeff_axis = coeff_axis
+        self.Dl = mesh.shape[limb_axis]
+        self.Dc = mesh.shape[coeff_axis]
+        L = level + 1
+        self.L = L
+        self.n = switcher.n
+        self.alpha = switcher.alpha
+        self.beta = switcher.beta(level)
+        self.beta_pad = -(-self.beta // self.Dl) * self.Dl
+        qp = switcher.q_moduli[:L] + switcher.p_moduli
+        self.T = T = len(qp)
+        self.T_pad = T_pad = -(-T // self.Dl) * self.Dl
+        wb = switcher.word_bits
+        dt = word_dtype(wb)
+        self.wb = wb
+        # one DistNtt over the T_pad-padded modulus list: fwd uses the
+        # static (0, T) row slice, inv the traced scattered-row slice
+        # (padding rows replicate the last real modulus — valid tables,
+        # garbage data, discarded on the host)
+        qp_pad = qp + (qp[-1],) * (T_pad - T)
+        self.dntt = DistNtt(qp_pad, self.n, mesh, coeff_axis, wb)
+
+        pre = switcher._level_pre(level)
+        (_, qhat_inv, qhat_inv_shoup, src_q, qhat_conv, self.round_div) = pre
+
+        def padB(a):
+            return _pad_axis0(np.asarray(a), self.beta_pad)
+
+        self._qhat_inv = padB(qhat_inv)
+        self._qhat_inv_shoup = padB(qhat_inv_shoup)
+        src_qb = padB(np.broadcast_to(src_q, qhat_inv.shape).copy())
+        src_qb[self.beta:] = 1
+        self._src_q = src_qb.astype(dt)
+        self._qhat_conv = padB(qhat_conv)
+        ring_qp = get_rns_ring(qp, self.n, wb)
+        self._qp_q = np.asarray(ring_qp.q)                       # (T, 1)
+        self._qp_pinv = np.asarray(ring_qp.pinv)
+
+        def padT(a, fill=0):
+            a = np.asarray(a)
+            k = a.shape[0]
+            out = np.zeros((T_pad,) + a.shape[1:], dtype=a.dtype)
+            out[:k] = a
+            if fill and T_pad > k:
+                out[k:] = fill
+            return out
+
+        self._qp_q_pad = padT(self._qp_q, 1).astype(dt)
+        self._qp_pinv_pad = padT(self._qp_pinv, 1).astype(dt)
+        rd = self.round_div
+        self._rd_p_q = np.asarray(rd.p_q)
+        self._rd_half_p = np.asarray(rd.half_p)
+        self._rd_qhat_inv = np.asarray(rd.conv.qhat_inv)
+        self._rd_qhat_inv_shoup = np.asarray(rd.conv.qhat_inv_shoup)
+        self._rd_conv_pad = padT(np.asarray(rd.conv.qhat_dst_mont))
+        self._half_q_pad = padT(np.asarray(rd.half_q))
+        self._pmont_pad = padT(np.asarray(rd.pinv_mont))
+
+        spec_x = P(None, coeff_axis)
+        spec_kd = P(limb_axis, None, None, coeff_axis)
+        self._jit = jax.jit(jax.shard_map(
+            self._body, mesh=mesh, in_specs=(spec_x, spec_kd),
+            out_specs=P(None, limb_axis, coeff_axis), check_vma=False))
+
+    def pad_keys(self, key_q, key_p):
+        """(β, 2, Lq_full, n) keys → (β_pad, 2, T_pad, n) for the sharded
+        (limb on digits, coeff on n) placement."""
+        kq = np.asarray(key_q)[:self.beta, :, :self.L]
+        kp = np.asarray(key_p)[:self.beta]
+        kd = np.concatenate([kq, kp], axis=2)
+        kd = _pad_axis0(kd, self.beta_pad)
+        out = np.zeros(kd.shape[:2] + (self.T_pad,) + kd.shape[3:],
+                       dtype=kd.dtype)
+        out[:, :, :self.T] = kd
+        return out
+
+    def _body(self, x, kd):
+        """x (L, C) replicated over limb; kd digit+coeff shard
+        (β_pad/Dl, 2, T_pad, C). Returns (2, T_pad/Dl, C) — this device's
+        scattered output-limb rows (padded rows are garbage)."""
+        L, T, T_pad = self.L, self.T, self.T_pad
+        alpha, beta_pad, Dl = self.alpha, self.beta_pad, self.Dl
+        my = jax.lax.axis_index(self.limb_axis)
+        bD = beta_pad // Dl
+        C = x.shape[-1]
+        # local digit group: decompose + mod-up + distributed NTT
+        pad = beta_pad * alpha - L
+        xg = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+        xg = xg.reshape(beta_pad, alpha, C)
+        xg = jax.lax.dynamic_slice_in_dim(xg, my * bD, bD, axis=0)
+        qhat_inv = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(self._qhat_inv), my * bD, bD, axis=0)
+        qhat_inv_sh = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(self._qhat_inv_shoup), my * bD, bD, axis=0)
+        src_q = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(self._src_q), my * bD, bD, axis=0)
+        qhat_conv = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(self._qhat_conv), my * bD, bD, axis=0)
+        y = _u.shoup_mul(jnp, xg, qhat_inv, qhat_inv_sh, src_q)
+        terms = _u.mont_mul(jnp, y[:, None, :, :], qhat_conv[:, :, :, None],
+                            self._qp_q[:, :, None], self._qp_pinv[:, :, None])
+        xd = _u.modsum_tree(jnp, terms, self._qp_q[:, :, None], axis=-2)
+        xd = self.dntt.fwd_body(xd, rows=(0, T))      # (bD, T, C)
+        xd = jnp.pad(xd, ((0, 0), (0, T_pad - T), (0, 0)))
+        # gadget inner product (local partial sum over this digit group)
+        terms = _u.mont_mul(jnp, xd[:, None, :, :], kd, self._qp_q_pad,
+                            self._qp_pinv_pad)
+        acc = _u.modsum_tree(jnp, terms, self._qp_q_pad, axis=0)  # (2,T_pad,C)
+        # reduce over limb devices + scatter the T axis (widened for u32
+        # row sums with Dl > 2 — they wrap the 32-bit word)
+        wide = self.wb == 32 and Dl > 2
+        if wide:
+            acc = acc.astype(jnp.uint64)
+        acc = jax.lax.psum_scatter(acc, self.limb_axis, scatter_dimension=1,
+                                   tiled=True)        # (2, rpd, C)
+        rpd = T_pad // Dl
+        q_loc = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(self._qp_q_pad), my * rpd, rpd, axis=0)
+        qf = q_loc.astype(acc.dtype)
+        d = Dl
+        while d > 1:
+            d //= 2
+            step = qf * jnp.asarray(d, acc.dtype)
+            acc = jnp.where(acc >= step, acc - step, acc)
+        acc = jnp.where(acc >= qf, acc - qf, acc)
+        if wide:
+            acc = acc.astype(jnp.uint32)
+        # distributed INTT on this device's scattered limb rows
+        c = self.dntt.inv_body(acc, rows=(my * rpd, rpd))   # (2, rpd, C)
+        # the |P| special-limb rows must reach every limb shard
+        p_rows = []
+        for a in range(self.alpha):
+            r = L + a
+            owner, row_in = r // rpd, r % rpd
+            contrib = jnp.where(my == owner, c[:, row_in], 0)
+            p_rows.append(contrib)
+        c_p = jax.lax.psum(jnp.stack(p_rows, axis=1), self.limb_axis)
+
+        def sl(a):
+            return jax.lax.dynamic_slice_in_dim(jnp.asarray(a), my * rpd,
+                                                rpd, axis=0)
+
+        rd = self.round_div
+        y2 = _u.shoup_mul(jnp, _u.addmod(jnp, c_p, self._rd_half_p,
+                                         self._rd_p_q),
+                          self._rd_qhat_inv, self._rd_qhat_inv_shoup,
+                          self._rd_p_q)
+        conv_loc = _u.modsum_tree(
+            jnp, _u.mont_mul(jnp, y2[:, None, :, :],
+                             sl(self._rd_conv_pad)[:, :, None],
+                             q_loc[:, None, :],
+                             sl(self._qp_pinv_pad)[:, None, :]),
+            q_loc[:, None, :], axis=-2)
+        num = _u.submod(jnp, _u.addmod(jnp, c, sl(self._half_q_pad), q_loc),
+                        conv_loc, q_loc)
+        e = _u.mont_mul(jnp, num, sl(self._pmont_pad), q_loc,
+                        sl(self._qp_pinv_pad))
+        v = rd.overflow(jnp, y2)[..., None, :]
+        return _u.addmod(jnp, e, v, q_loc)
+
+    def __call__(self, x, key_q, key_p):
+        """x (L, n) coeff-domain numpy → (e0, e1) over Q_ℓ, bit-identical
+        to KeySwitcher.switch."""
+        kd = self.pad_keys(key_q, key_p)
+        e = np.asarray(self._jit(np.asarray(x), kd))
+        e = e.reshape(2, self.T_pad, self.n)[:, :self.L]
+        return e[0], e[1]
+
+
+def _pad_axis0(a, size):
+    if a.shape[0] == size:
+        return a
+    widths = [(0, size - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, widths)
 
 
 def galois_body(x, src_tbl, sign_tbl, q_col, axis: str, C: int):

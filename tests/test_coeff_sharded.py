@@ -83,6 +83,36 @@ def test_coeff_sharded_keyswitch_bit_exact(wb, bits):
 
 
 @pytest.mark.parametrize('wb,bits', [(64, 50), (32, 31)])
+def test_limb_coeff_keyswitch_bit_exact(wb, bits):
+    """2-D limb×coeff composition: digit axis sharded over 'limb'
+    (psum_scatter) and the coefficient axis over 'coeff' (all_to_all
+    NTTs) in ONE shard_map program — bit-exact vs the single-device
+    switch (TP width = D_limb × D_coeff)."""
+    from lattisense_tpu.params import BfvParams
+    from lattisense_tpu.parallel.coeff_sharded import LimbCoeffKeySwitcher
+    from lattisense_tpu.runtime import BfvContext
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip('need 8 virtual devices')
+    mesh = Mesh(np.array(devs[:8]).reshape(2, 4), ('limb', 'coeff'))
+    q = gen_ntt_primes(N, bits, 4)
+    p = gen_ntt_primes(N, bits, 2, exclude=tuple(q))
+    params = BfvParams.create_custom(N, 65537, q, p, word_bits=wb)
+    ctx = BfvContext.create_random_context(params, seed=33)
+    level = 3
+    sw = ctx.engine.switcher
+    rng = np.random.default_rng(5)
+    dt = np.uint64 if wb == 64 else np.uint32
+    x = np.stack([rng.integers(0, qi, N, dtype=np.uint64).astype(dt)
+                  for qi in q[:level + 1]])
+    ref0, ref1 = sw.switch(np, x, ctx.rlk, level)
+    ks = LimbCoeffKeySwitcher(sw, level, mesh)
+    got0, got1 = ks(x, ctx.rlk.key_q, ctx.rlk.key_p)
+    np.testing.assert_array_equal(np.asarray(got0), ref0)
+    np.testing.assert_array_equal(np.asarray(got1), ref1)
+
+
+@pytest.mark.parametrize('wb,bits', [(64, 50), (32, 31)])
 def test_coeff_sharded_relin_and_rotate_decrypt(wb, bits):
     """End-to-end: coeff-sharded relinearization and rotation on a real
     ciphertext — bit-exact ciphertexts AND exact decryption."""
