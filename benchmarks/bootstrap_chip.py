@@ -35,12 +35,18 @@ elif mode == 'full':
                           message_ratio=4.0, arcsine=True)
     ctx = CkksBtpContext.create_random_context(params, seed=77, h=192, btp_config=cfg)
 else:
+    # the reference toy profile (n=8192 — the config its CI exercises,
+    # unittests/test_cpu_ckks.cpp:847) at the precision-MEETING dial
+    # (ratio 8 + deg-3 arcsine -> 5.4e-6, BASELINE.md round-2 session 4);
+    # --sparse halves log_slots (the reference's sparse-slots variant)
     from lattisense_tpu.frontend.custom_task import CkksBtpParam
     fe = CkksBtpParam.create_toy_param()
-    params = CkksParams.create_custom(fe.n, fe.q, fe.p, slots=fe.slots, scale=float(fe.scale))
+    slots = fe.slots // 4 if '--sparse' in sys.argv else fe.slots
+    params = CkksParams.create_custom(fe.n, fe.q, fe.p, slots=slots, scale=float(fe.scale))
     cfg = BootstrapConfig(cts_depth=fe.cts_params.depth(), stc_depth=fe.stc_params.depth(),
                           k=20, sine_deg=39, double_angle=fe.eval_mod_params.double_angle,
-                          em_scale=float(fe.eval_mod_params.scaling_factor), message_ratio=256.0)
+                          em_scale=float(fe.eval_mod_params.scaling_factor),
+                          message_ratio=8.0, arcsine=True)
     ctx = CkksBtpContext.create_random_context(params, seed=77, h=192, btp_config=cfg)
 print(f'keygen {time.time()-t0:.0f}s', flush=True)
 eng = ctx.engine

@@ -89,6 +89,20 @@ def main():
     report(f'fwd({tag})', fwd, xd)
     report(f'inv({tag})', inv, y)
 
+    if os.environ.get('LATTISENSE_PROBE_RSWEEP', '0') not in ('', '0'):
+        # interleaved in-process R sweep (single-shot cross-process
+        # readings drift up to 20%; see NOTES round-3)
+        fns = {}
+        for r in (4, 8, 16, 32):
+            fns[f'fwd R={r}'] = (jax.jit(
+                lambda v, _r=r: k32.ntt_fused32(v, ring, _r)), xd)
+            fns[f'inv R={r}'] = (jax.jit(
+                lambda v, _r=r: k32.intt_fused32(v, ring, _r)), y)
+        for tag2, (fn, arg) in fns.items():
+            np.asarray(jax.tree.leaves(fn(arg))[0].ravel()[:2])  # compile
+        for tag2, (fn, arg) in fns.items():
+            report(tag2, fn, arg)
+
     if os.environ.get('LATTISENSE_PROBE_DIAG', '0') not in ('', '0'):
         # D1 diagnostic (TIMING ONLY, wrong math): the inverse stage plan
         # (ascending distances) with the FORWARD's CT butterfly form
