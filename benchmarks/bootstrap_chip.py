@@ -1,6 +1,12 @@
 """Chunked (per-segment jit) CKKS bootstrap timing on the real chip."""
-import sys, time, numpy as np
+import os, sys, time, numpy as np
 sys.path.insert(0, '/root/repo')
+# The fused single-kernel key switch embeds per-level twiddle-table
+# CONSTANTS in the HLO; a bootstrap segment contains key switches at many
+# levels and the serialized program exceeds the remote compile service's
+# request-body limit (HTTP 413, observed at n=8192 'split'). The XLA
+# switch path shares the ring tables across ops — keep it for bootstrap.
+os.environ.setdefault('LATTISENSE_KSW32', '0')
 import jax, jax.numpy as jnp
 jax.config.update('jax_compilation_cache_dir', '/tmp/lattisense_jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)

@@ -93,7 +93,7 @@ def main():
         # interleaved in-process R sweep (single-shot cross-process
         # readings drift up to 20%; see NOTES round-3)
         fns = {}
-        for r in (4, 8, 16, 32):
+        for r in (8, 16, 32):   # block rows must be divisible by 8 (Mosaic)
             fns[f'fwd R={r}'] = (jax.jit(
                 lambda v, _r=r: k32.ntt_fused32(v, ring, _r)), xd)
             fns[f'inv R={r}'] = (jax.jit(
