@@ -380,15 +380,28 @@ class CkksBootstrapper:
                 return (self._rescale_n(xp, lt(xp, t, glk_map)),)
             segs.append((f'cts{i}', s_cts))
 
-        def s_split(xp, cts, rlk, glk_map):
+        # The real/imag split carries TWO full BSGS transforms whose
+        # encoded diagonals are program constants — as one segment its
+        # serialized HLO is ~2x a cts segment and exceeded the remote
+        # compile service's request-size limit at the n=8192 toy profile
+        # (HTTP 413). Two segments, each cts-sized; ``t`` passes through
+        # the first unchanged. Values are bit-identical to the fused
+        # form (the halves are independent computations).
+        def s_split_re(xp, cts, rlk, glk_map):
             t, = cts
             ta = self._rescale_n(xp, self.cts_last_re(xp, t, glk_map))
-            tb = self._rescale_n(xp, self.cts_last_im(xp, t, glk_map))
-            ta.scale = tb.scale = self.em_entry_scale
+            ta.scale = self.em_entry_scale
             t0 = eng.add(xp, ta, self._conj(xp, ta, glk_map))
+            return (t0, t)
+        segs.append(('split_re', s_split_re))
+
+        def s_split_im(xp, cts, rlk, glk_map):
+            t0, t = cts
+            tb = self._rescale_n(xp, self.cts_last_im(xp, t, glk_map))
+            tb.scale = self.em_entry_scale
             t1 = eng.add(xp, tb, self._conj(xp, tb, glk_map))
             return (t0, t1)
-        segs.append(('split', s_split))
+        segs.append(('split_im', s_split_im))
 
         # Both halves run as ONE vmapped program: they share level/scale
         # metadata (split emits symmetric ta/tb), so stacking them halves
