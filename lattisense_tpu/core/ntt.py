@@ -83,6 +83,13 @@ def _pallas32_ok(xp, n, dtype):
 
 def ntt(xp, x, ring):
     """Forward negacyclic NTT. x: u64 (..., L, n) in [0, q). Output bit-reversed."""
+    # coefficient-sharded ring view (parallel/sharded_engine.py): inside a
+    # shard_map the transform is the distributed four-step NTT; host (np)
+    # paths — encode/keygen at trace time — fall back to the full-n ring
+    if getattr(ring, 'dist', None) is not None:
+        if xp.__name__ != 'numpy':
+            return ring.dist.fwd_body(x)
+        ring = ring.host
     if xp.__name__ == 'numpy':
         nat = _native()
         if nat is not None:
@@ -204,6 +211,10 @@ def _conj_inv_tables(ring):
 
 def intt(xp, x, ring):
     """Inverse negacyclic NTT. Input bit-reversed, output natural, scaled by n^-1."""
+    if getattr(ring, 'dist', None) is not None:   # coeff-sharded ring view
+        if xp.__name__ != 'numpy':
+            return ring.dist.inv_body(x)
+        ring = ring.host
     if xp.__name__ == 'numpy':
         nat = _native()
         if nat is not None:

@@ -8,8 +8,13 @@ Axis vocabulary (SURVEY.md §2.8 "TPU-native equivalents"):
 - ``limb`` — kernel-level sharding: the RNS limb axis of a single
   ciphertext split across chips; base-conversion/key-switch limb products
   reduced with psum_scatter over ICI — FHE's "tensor parallelism".
+- ``coeff`` — kernel-level sharding on the ring dimension: one
+  polynomial's n coefficients split across chips; NTT stages exchange
+  all_to_all over ICI (parallel/coeff_sharded.py, sharded_engine.py).
 
-``make_mesh(op=4, limb=2)`` builds a 2-D mesh from the available devices.
+``make_mesh(op=4, limb=2)`` builds the mesh from the available devices;
+pass ``coeff=`` for a third axis (e.g. ``make_mesh(op=1, limb=2,
+coeff=4)``).
 """
 
 import numpy as np
@@ -18,15 +23,16 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(op: int | None = None, limb: int = 1, devices=None) -> Mesh:
+def make_mesh(op: int | None = None, limb: int = 1, coeff: int = 1,
+              devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if op is None:
-        op = n // limb
-    if op * limb != n:
-        raise ValueError(f'mesh {op}x{limb} does not match {n} devices')
-    arr = np.asarray(devices).reshape(op, limb)
-    return Mesh(arr, axis_names=('op', 'limb'))
+        op = n // (limb * coeff)
+    if op * limb * coeff != n:
+        raise ValueError(f'mesh {op}x{limb}x{coeff} does not match {n} devices')
+    arr = np.asarray(devices).reshape(op, limb, coeff)
+    return Mesh(arr, axis_names=('op', 'limb', 'coeff'))
 
 
 def ct_batch_spec(limb_sharded: bool = False) -> P:

