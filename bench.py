@@ -9,11 +9,14 @@ independent ops, ops/s from wall-clock ns. Scenarios, in EMISSION order:
    the tunnel can stall any later step, and the round artifact must
    contain this number; the headline JSON line is re-emitted at the very
    end so the driver's last-line parse always sees it)
-3. CKKS mult_relin_rescale w32 composite-2^60 (both rescales charged)
-4. BFV rotate_col w32
-5. BFV mult_relin u64 (reference chains; also yields the matched-budget
+3. BFV rotate_col w32
+4. BFV mult_relin u64 (reference chains; also yields the matched-budget
    w32/u64 ratio line)
-6. BFV rotate_col u64, CKKS mult_relin_rescale u64
+5. BFV rotate_col u64, CKKS mult_relin_rescale u64
+6. CKKS mult_relin_rescale w32 composite-2^60 (both rescales charged) —
+   LAST: its program is the largest and the remote compiler has been
+   observed to wedge >30 min on it; in last position a wedge costs no
+   other scenario
 
 One JSON line per scenario: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is the chip against this machine's multi-threaded native
@@ -234,33 +237,6 @@ def main():
 
     headline()
 
-    # ---- CKKS mult_relin_rescale, 31-bit word, composite-2^60 ---------------
-    # Composite scaling (limbs_per_level=2): scale 2^60 spans a prime pair
-    # and each level consumes TWO rescales — the honest w32 twin of the
-    # reference's scale-2^40 measurement (benchmark_cpu.cpp:53-78): equal-
-    # or-better post-rescale precision class, with both rescales charged
-    # to the op (VERDICT r2 weak#6).
-    @_scenario('device: CKKS mult_relin_rescale w32 composite-2^60')
-    def ckks_w32():
-        cpq = CkksParams.create_tpu_param(16384)
-        cp32 = CkksParams.create_custom(16384, cpq.q, cpq.p, slots=cpq.slots,
-                                        scale=float(2 ** 60), word_bits=32)
-        clvl = cp32.max_level
-        cctx32 = CkksContext.create_random_context(cp32, seed=9)
-        cm = rng.uniform(-1, 1, (2 * batch, cp32.slots))
-        cc = [cctx32.encrypt(cctx32.encode(m, clvl)) for m in cm]
-        ca32 = jax.device_put(np.stack([c.data for c in cc[:batch]]))
-        cb32 = jax.device_put(np.stack([c.data for c in cc[batch:]]))
-        ck32 = jax.device_put(key_tree(cctx32))
-        fc32 = make_batched_step(cctx32.engine, ckks_mult_relin_rescale2,
-                                 clvl, n_inputs=2)
-        np.asarray(jax.tree.leaves(fc32(ca32, cb32, ck32))[0].ravel()[:2])
-        ops_s = _slope_fresh(lambda x, y: fc32(x, y, ck32), (ca32, cb32),
-                             batch)
-        _emit('ckks_mult_relin_rescale_n16384_w32_composite60_ops_per_s_per_chip',
-              ops_s, 'ops/s', vs('ckks_mult_relin_rescale', ops_s))
-
-    ckks_w32()
 
     # ---- BFV rotate_col, 31-bit word ----------------------------------------
     @_scenario('device: BFV rotate_col w32')
@@ -329,6 +305,34 @@ def main():
               'ops/s', vs('ckks_mult_relin_rescale', ops_s))
 
     ckks_u64()
+
+    # ---- CKKS mult_relin_rescale, 31-bit word, composite-2^60 ---------------
+    # Composite scaling (limbs_per_level=2): scale 2^60 spans a prime pair
+    # and each level consumes TWO rescales — the honest w32 twin of the
+    # reference's scale-2^40 measurement (benchmark_cpu.cpp:53-78): equal-
+    # or-better post-rescale precision class, with both rescales charged
+    # to the op (VERDICT r2 weak#6).
+    @_scenario('device: CKKS mult_relin_rescale w32 composite-2^60')
+    def ckks_w32():
+        cpq = CkksParams.create_tpu_param(16384)
+        cp32 = CkksParams.create_custom(16384, cpq.q, cpq.p, slots=cpq.slots,
+                                        scale=float(2 ** 60), word_bits=32)
+        clvl = cp32.max_level
+        cctx32 = CkksContext.create_random_context(cp32, seed=9)
+        cm = rng.uniform(-1, 1, (2 * batch, cp32.slots))
+        cc = [cctx32.encrypt(cctx32.encode(m, clvl)) for m in cm]
+        ca32 = jax.device_put(np.stack([c.data for c in cc[:batch]]))
+        cb32 = jax.device_put(np.stack([c.data for c in cc[batch:]]))
+        ck32 = jax.device_put(key_tree(cctx32))
+        fc32 = make_batched_step(cctx32.engine, ckks_mult_relin_rescale2,
+                                 clvl, n_inputs=2)
+        np.asarray(jax.tree.leaves(fc32(ca32, cb32, ck32))[0].ravel()[:2])
+        ops_s = _slope_fresh(lambda x, y: fc32(x, y, ck32), (ca32, cb32),
+                             batch)
+        _emit('ckks_mult_relin_rescale_n16384_w32_composite60_ops_per_s_per_chip',
+              ops_s, 'ops/s', vs('ckks_mult_relin_rescale', ops_s))
+
+    ckks_w32()
 
     # ---- final line = the headline (driver parses the last JSON line) -------
     if _HEADLINE['line']:

@@ -134,3 +134,24 @@ got = np.asarray(out[0])[0] if BATCH else np.asarray(out[0])
 fresh = Ciphertext(data=got, level=host_out.level, is_ntt=True, scale=host_out.scale)
 err = np.max(np.abs(ctx.decrypt_decode(fresh).real - msg))
 print(f'device-path precision: {err:.2e}', flush=True)
+
+# per-segment steady-state timing table (VERDICT r3 item 2): marginal
+# slope per segment — run the pipeline truncated after segment i for k
+# and 2k iterations; the difference isolates segment i's contribution
+# without per-segment fetch barriers distorting the pipeline.
+if '--segtable' in sys.argv:
+    def run_upto(idx, k):
+        t0 = time.perf_counter()
+        for _ in range(k):
+            ds = (jax.device_put(ct0_data),)
+            for _, g in jits[:idx + 1]:
+                ds = g(*ds)
+            np.asarray(ds[0].ravel()[:2])
+        return (time.perf_counter() - t0) / k
+    prev = 0.0
+    print('per-segment steady-state (marginal, ms):', flush=True)
+    for i, (name, _) in enumerate(jits):
+        cur = min(run_upto(i, 2), run_upto(i, 2))
+        print(f'  {name:10s} {max(0.0, (cur - prev)) * 1e3:8.1f} ms',
+              flush=True)
+        prev = cur

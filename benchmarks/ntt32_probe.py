@@ -16,7 +16,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), '..'
 import numpy as np
 
 
-def timeit(fn, *args, iters=10):
+def timeit(fn, *args, iters=int(os.environ.get('LATTISENSE_PROBE_ITERS',
+                                               '10'))):
     import jax
     out = fn(*args)
     np.asarray(jax.tree.leaves(out)[0].ravel()[:2])
@@ -88,6 +89,21 @@ def main():
     np.testing.assert_array_equal(np.asarray(y[:2]), ref)
     report(f'fwd({tag})', fwd, xd)
     report(f'inv({tag})', inv, y)
+
+    if os.environ.get('LATTISENSE_PROBE_R4', '1') not in ('', '0'):
+        # radix-4 merged-stage kernels (VERDICT r3 item 3): interleaved
+        # in-process A/B vs the radix-2 defaults
+        fwd4 = jax.jit(lambda v: k32.ntt_fused32_r4(v, ring, R))
+        inv4 = jax.jit(lambda v: k32.intt_fused32_r4(v, ring, R))
+        y4 = fwd4(xd)
+        np.testing.assert_array_equal(np.asarray(y4[:2]), ref)
+        back4 = inv4(y)
+        np.testing.assert_array_equal(np.asarray(back4[:2]), x[:2])
+        for _ in range(2):   # interleave to average drift
+            report('fwd radix-2', fwd, xd)
+            report('fwd radix-4', fwd4, xd)
+            report('inv radix-2', inv, y)
+            report('inv radix-4', inv4, y)
 
     if os.environ.get('LATTISENSE_PROBE_RSWEEP', '0') not in ('', '0'):
         # interleaved in-process R sweep (single-shot cross-process

@@ -218,6 +218,100 @@ def main():
             print(f'hoisted-rotation point skipped at d={d}: {e}',
                   flush=True)
 
+    # ---- COEFFICIENT-axis latency scaling (VERDICT r3 item 4) ----------
+    # ONE ciphertext's ring dimension sharded over the coeff axis: the
+    # sharded-ENGINE mult+relin (distributed four-step NTTs + coeff-sharded
+    # key switch, parallel/sharded_engine.py) at D = 1/2/4/8. This is a
+    # LATENCY axis (it shrinks one op's critical path and per-device
+    # memory), so the row reports ms/op and speedup vs D=1; on the virtual
+    # CPU mesh the collectives are memcpys — points <= physical cores
+    # indicate SPMD overhead, not ICI behavior.
+    from jax.sharding import Mesh, PartitionSpec
+    from lattisense_tpu.schemes.types import Ciphertext
+    from lattisense_tpu.parallel.sharded_engine import (
+        make_coeff_sharded_engine)
+    import jax.numpy as jnp
+
+    eng = ctx_tp.engine
+    ct3 = eng.mult(np, c0t, c1t)
+    base_ms = None
+    for D in (1, 2, 4, 8):
+        if D > n_dev or (D > 1 and n % (D * D)):
+            continue
+        if D == 1:
+            f1 = jax.jit(lambda d3: eng.relinearize(
+                jnp, Ciphertext(data=d3, level=level, is_ntt=False,
+                                scale=1.0), ctx_tp.rlk).data)
+            fn_c, args_c = f1, (jnp.asarray(ct3.data),)
+        else:
+            cmesh = Mesh(np.array(jax.devices()[:D]), ('coeff',))
+            eng_sh = make_coeff_sharded_engine(eng, cmesh)
+
+            def body(d3, rlk):
+                c = Ciphertext(data=d3, level=level, is_ntt=False,
+                               scale=1.0)
+                return eng_sh.relinearize(jnp, c, rlk).data
+
+            sp3 = PartitionSpec(None, None, 'coeff')
+            sp4 = PartitionSpec(None, None, None, 'coeff')
+            fD = jax.jit(jax.shard_map(body, mesh=cmesh,
+                                       in_specs=(sp3, sp4), out_specs=sp3,
+                                       check_vma=False))
+            fn_c, args_c = fD, (jnp.asarray(ct3.data), ctx_tp.rlk)
+        np.asarray(fn_c(*args_c)).ravel()[:2]
+
+        def run_c(k):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(k):
+                o = fn_c(*args_c)
+            np.asarray(o).ravel()[:2]
+            return time.perf_counter() - t0
+
+        run_c(2)
+        t1, t2 = run_c(8), run_c(16)
+        ms = (t2 - t1) / 8 * 1e3
+        if base_ms is None:
+            base_ms = ms
+        starve = ' (core-starved)' if D > cores else ''
+        print(json.dumps({
+            'metric': f'coeff_sharded_relin_{D}dev_ms_per_op',
+            'value': round(ms, 3), 'unit': 'ms/op',
+            'vs_baseline': round(base_ms / ms, 3)}) + starve, flush=True)
+
+    # ---- 2-D limb×coeff key-switch latency ------------------------------
+    from lattisense_tpu.parallel.coeff_sharded import LimbCoeffKeySwitcher
+    x1 = np.asarray(ct3.data[2]) if ct3.data.shape[0] > 2 \
+        else np.asarray(ct3.data[1])
+    base2 = None
+    for (dl, dc) in ((2, 2), (2, 4)):
+        if dl * dc > n_dev or n % (dc * dc) or (level + 1) % dl:
+            continue
+        mesh2 = Mesh(np.array(jax.devices()[:dl * dc]).reshape(dl, dc),
+                     ('limb', 'coeff'))
+        ks2 = LimbCoeffKeySwitcher(eng.switcher, level, mesh2)
+        kd2 = ks2.pad_keys(ctx_tp.rlk.key_q, ctx_tp.rlk.key_p)
+
+        def run_2d(k):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(k):
+                o = ks2._jit(x1, kd2)
+            np.asarray(jax.tree.leaves(o)[0]).ravel()[:2]
+            return time.perf_counter() - t0
+
+        np.asarray(jax.tree.leaves(ks2._jit(x1, kd2))[0]).ravel()[:2]
+        run_2d(2)
+        t1, t2 = run_2d(8), run_2d(16)
+        ms = (t2 - t1) / 8 * 1e3
+        if base2 is None:
+            base2 = ms
+        starve = ' (core-starved)' if dl * dc > cores else ''
+        print(json.dumps({
+            'metric': f'limb{dl}_coeff{dc}_keyswitch_ms_per_op',
+            'value': round(ms, 3), 'unit': 'ms/op',
+            'vs_baseline': round(base2 / ms, 3)}) + starve, flush=True)
+
 
 if __name__ == '__main__':
     main()

@@ -447,13 +447,28 @@ def _vmap_entry(ring, rows_per_block, impl, tag, perm=False):
     return f
 
 
+_R4 = _os.environ.get('LATTISENSE_NTT32_R4', '0') not in ('', '0')
+# The inverse gate defaults to the radix-4 kernel independently (merged
+# passes halve the materialization points that dominate the ascending-
+# distance inverse; chip A/B via benchmarks/ntt32_probe.py decides both).
+_R4_INV = _os.environ.get('LATTISENSE_NTT32_R4_INV',
+                          _os.environ.get('LATTISENSE_NTT32_R4', '0')) \
+    not in ('', '0')
+
+
 def ntt_fused32(x, ring, rows_per_block: int = 8):
     """Forward NTT over (..., L, n) u32, bit-identical to core.ntt.ntt."""
+    if _R4:
+        return _vmap_entry(ring, rows_per_block, _ntt_fused_impl4,
+                           'fwd32r4')(x)
     return _vmap_entry(ring, rows_per_block, _ntt_fused_impl, 'fwd32')(x)
 
 
 def intt_fused32(x, ring, rows_per_block: int = 8):
     """Inverse NTT over (..., L, n) u32, bit-identical to core.ntt.intt."""
+    if _R4_INV:
+        return _vmap_entry(ring, rows_per_block, _intt_fused_impl4,
+                           'inv32r4')(x)
     return _vmap_entry(ring, rows_per_block, _intt_fused_impl, 'inv32')(x)
 
 
@@ -492,3 +507,262 @@ def intt_fused32_perm(x, ring, rows_per_block: int = 8):
     ntt_fused32_perm(x)) == x."""
     return _vmap_entry(ring, rows_per_block, _intt_fused_impl, 'inv32',
                        perm=True)(x)
+
+
+# ---------------------------------------------------------------------------
+# radix-4 (two-level merged) kernels — VERDICT r3 item 3 (the inverse gap)
+# ---------------------------------------------------------------------------
+# Two butterfly levels per fold-idiom pass: the pass count halves (14 -> 8
+# at n=16384), and with it the number of per-stage concatenate
+# materialization points Mosaic schedules — the prime suspect for the
+# inverse kernel's 2x-over-forward cost (the stage multisets are identical
+# pairwise, so arithmetic cannot explain it; NOTES.md round-3 item 3).
+# Multiply count is unchanged (radix-4 = the same twiddles, reassociated).
+# Natural-phase tables are SPLAT-only ((m, 1), the round-3 winner);
+# transposed-phase tables stay pre-expanded (compact lost, round-3).
+# Gate: LATTISENSE_NTT32_R4=1 (default decided by the chip A/B probe).
+
+
+def _pair_stages(plan):
+    """Greedily pair consecutive same-phase stages: [(a, b)] or [(a,)]."""
+    out, i = [], 0
+    while i < len(plan):
+        if i + 1 < len(plan) and plan[i][2] == plan[i + 1][2]:
+            out.append((plan[i], plan[i + 1]))
+            i += 2
+        else:
+            out.append((plan[i],))
+            i += 1
+    return out
+
+
+def _fwd_kernel4(logn, rows, plan, q_ref, x_ref, *refs):
+    """CT forward with merged (2t, t) passes; natural -> bit-reversed."""
+    n = 1 << logn
+    sub = n // LANES
+    limb = pl.program_id(0)
+    q = q_ref[limb, 0]
+    v = x_ref[...]
+    ri = 0
+    in_t = False
+    for kind, m, ts, transposed in plan:
+        if transposed and not in_t:
+            v = v.reshape(rows, sub, LANES).swapaxes(1, 2)
+            in_t = True
+        width = ts * sub if transposed else ts
+        if kind == 'r2':
+            w, ws = refs[ri][...], refs[ri + 1][...]
+            ri += 2
+            p = v.reshape(rows, m, 2 * width)
+            u = p[..., :width]
+            b = _shoup32(p[..., width:], w, ws, q)
+            v = jnp.concatenate([_addmod32(u, b, q), _submod32(u, b, q)],
+                                axis=-1)
+        else:
+            w2, w2s = refs[ri][...], refs[ri + 1][...]
+            w1a, w1as = refs[ri + 2][...], refs[ri + 3][...]
+            w1b, w1bs = refs[ri + 4][...], refs[ri + 5][...]
+            ri += 6
+            p = v.reshape(rows, m, 4 * width)
+            u = p[..., :2 * width]
+            b = _shoup32(p[..., 2 * width:], w2, w2s, q)
+            top = _addmod32(u, b, q)
+            bot = _submod32(u, b, q)
+            t0 = top[..., :width]
+            t1 = _shoup32(top[..., width:], w1a, w1as, q)
+            b0 = bot[..., :width]
+            b1 = _shoup32(bot[..., width:], w1b, w1bs, q)
+            v = jnp.concatenate(
+                [_addmod32(t0, t1, q), _submod32(t0, t1, q),
+                 _addmod32(b0, b1, q), _submod32(b0, b1, q)], axis=-1)
+        if not transposed:
+            v = v.reshape(rows, n)
+    v = v.reshape(rows, LANES, sub).swapaxes(1, 2)
+    refs[-1][...] = v.reshape(rows, n)
+
+
+def _inv_kernel4(logn, rows, plan, qn_ref, x_ref, *refs):
+    """GS inverse with merged (t, 2t) passes; bit-reversed -> natural."""
+    n = 1 << logn
+    sub = n // LANES
+    limb = pl.program_id(0)
+    q = qn_ref[limb, 0]
+    v = x_ref[...].reshape(rows, sub, LANES).swapaxes(1, 2)
+    ri = 0
+    in_t = True
+    for kind, m, ts, transposed in plan:
+        if not transposed and in_t:
+            v = v.reshape(rows, LANES, sub).swapaxes(1, 2).reshape(rows, n)
+            in_t = False
+        width = ts * sub if transposed else ts
+        if kind == 'r2':
+            w, ws = refs[ri][...], refs[ri + 1][...]
+            ri += 2
+            p = v.reshape(rows, m, 2 * width)
+            u, b = p[..., :width], p[..., width:]
+            s = _addmod32(u, b, q)
+            d = _shoup32(_submod32(u, b, q), w, ws, q)
+            v = jnp.concatenate([s, d], axis=-1)
+        else:
+            w1a, w1as = refs[ri][...], refs[ri + 1][...]
+            w1b, w1bs = refs[ri + 2][...], refs[ri + 3][...]
+            w2, w2s = refs[ri + 4][...], refs[ri + 5][...]
+            ri += 6
+            p = v.reshape(rows, m, 4 * width)
+            pa, pb = p[..., :width], p[..., width:2 * width]
+            pc, pd = p[..., 2 * width:3 * width], p[..., 3 * width:]
+            s_ab = _addmod32(pa, pb, q)
+            d_ab = _shoup32(_submod32(pa, pb, q), w1a, w1as, q)
+            s_cd = _addmod32(pc, pd, q)
+            d_cd = _shoup32(_submod32(pc, pd, q), w1b, w1bs, q)
+            v = jnp.concatenate(
+                [_addmod32(s_ab, s_cd, q), _addmod32(d_ab, d_cd, q),
+                 _shoup32(_submod32(s_ab, s_cd, q), w2, w2s, q),
+                 _shoup32(_submod32(d_ab, d_cd, q), w2, w2s, q)], axis=-1)
+        if not transposed:
+            v = v.reshape(rows, n)
+    ni = qn_ref[limb, 1]
+    ns = qn_ref[limb, 2]
+    v = _shoup32(v, ni, ns, q)
+    refs[-1][...] = v.reshape(rows, n)
+
+
+def _expand_tr(tw, ts, n, t_idx, g_idx, t_width=None):
+    """Transposed-phase table for butterfly distance ``t_idx`` restricted
+    to blocks ``g_idx``, expanded to width ``t_width*sub`` (the value is
+    constant over the t axis, so a narrower width is a plain truncation)."""
+    sub = n // LANES
+    t_width = t_idx if t_width is None else t_width
+    m_orig = n // (2 * t_idx)
+    blk = LANES // (2 * t_idx)
+    g = np.asarray(g_idx)[:, None, None]
+    a = np.arange(sub)[None, None, :]
+    idx = np.broadcast_to(m_orig + a * blk + g,
+                          (len(g_idx), t_width, sub)).reshape(
+        len(g_idx), t_width * sub)
+    return (np.ascontiguousarray(tw[:, idx]), np.ascontiguousarray(ts[:, idx]))
+
+
+def _expand_nat(tw, ts, idx_vec):
+    """Natural-phase SPLAT table (L, m, 1) for twiddle indices idx_vec."""
+    idx = np.asarray(idx_vec)[:, None]
+    return (np.ascontiguousarray(tw[:, idx]), np.ascontiguousarray(ts[:, idx]))
+
+
+@functools.lru_cache(maxsize=None)
+def _tables4(ring_key):
+    """Forward radix-4 plan + tables: plan entries ('r2', m, t, transposed)
+    consume one (w, ws) pair; ('r4', m4, t_small, transposed) consume three
+    pairs ordered [level-2t, level-t even blocks, level-t odd blocks]."""
+    ring, = _RING_STASH[ring_key]
+    n, L = ring.n, len(ring.moduli)
+    logn = n.bit_length() - 1
+    sub = n // LANES
+    tw = np.ascontiguousarray(ring.psi_rev, dtype=np.uint32)
+    ts = np.ascontiguousarray(ring.psi_rev_shoup, dtype=np.uint32)
+    plan, stages = [], []
+    for pair in _pair_stages(_stage_plan(logn)):
+        if len(pair) == 1:
+            m, t, tr = pair[0]
+            plan.append(('r2', m, t, tr))
+            if tr:
+                stages.append(_expand_tr(tw, ts, n, t, np.arange(m)))
+            else:
+                stages.append(_expand_nat(tw, ts, m + np.arange(m)))
+        else:
+            (mA, tA, tr), (mB, tB, _) = pair           # tA = 2*tB
+            m4 = mB // 2
+            plan.append(('r4', m4, tB, tr))
+            if tr:
+                stages.append(_expand_tr(tw, ts, n, tA, np.arange(m4)))
+                stages.append(_expand_tr(tw, ts, n, tB, 2 * np.arange(m4)))
+                stages.append(_expand_tr(tw, ts, n, tB,
+                                         2 * np.arange(m4) + 1))
+            else:
+                m1 = n // (2 * tB)
+                stages.append(_expand_nat(tw, ts, m4 + np.arange(m4)))
+                stages.append(_expand_nat(tw, ts, m1 + 2 * np.arange(m4)))
+                stages.append(_expand_nat(tw, ts,
+                                          m1 + 2 * np.arange(m4) + 1))
+    q = np.asarray(ring.q, dtype=np.uint32).reshape(L, 1)
+    return (logn, L, sub, tuple(plan), stages, q)
+
+
+@functools.lru_cache(maxsize=None)
+def _itables4(ring_key):
+    """Inverse radix-4 plan + tables; r4 pairs consume [level-t even,
+    level-t odd, level-2t (truncated to t width)]."""
+    ring, = _RING_STASH[ring_key]
+    n, L = ring.n, len(ring.moduli)
+    logn = n.bit_length() - 1
+    sub = n // LANES
+    tinv = np.ascontiguousarray(ring.psi_inv_rev, dtype=np.uint32)
+    tinv_s = np.ascontiguousarray(ring.psi_inv_rev_shoup, dtype=np.uint32)
+    plan, stages = [], []
+    for pair in _pair_stages(_inv_stage_plan(logn)):
+        if len(pair) == 1:
+            m, t, tr = pair[0]
+            plan.append(('r2', m, t, tr))
+            if tr:
+                stages.append(_expand_tr(tinv, tinv_s, n, t, np.arange(m)))
+            else:
+                m_orig = n // (2 * t)
+                stages.append(_expand_nat(tinv, tinv_s,
+                                          m_orig + np.arange(m)))
+        else:
+            (mA, tA, tr), (mB, tB, _) = pair           # tB = 2*tA
+            m4 = mB
+            plan.append(('r4', m4, tA, tr))
+            if tr:
+                stages.append(_expand_tr(tinv, tinv_s, n, tA,
+                                         2 * np.arange(m4)))
+                stages.append(_expand_tr(tinv, tinv_s, n, tA,
+                                         2 * np.arange(m4) + 1))
+                stages.append(_expand_tr(tinv, tinv_s, n, tB,
+                                         np.arange(m4), t_width=tA))
+            else:
+                m1 = n // (2 * tA)
+                m2 = n // (4 * tA)
+                stages.append(_expand_nat(tinv, tinv_s,
+                                          m1 + 2 * np.arange(m4)))
+                stages.append(_expand_nat(tinv, tinv_s,
+                                          m1 + 2 * np.arange(m4) + 1))
+                stages.append(_expand_nat(tinv, tinv_s, m2 + np.arange(m4)))
+    qn = np.stack([np.asarray(ring.q, dtype=np.uint32).reshape(-1),
+                   np.asarray([r.n_inv for r in ring.rings],
+                              dtype=np.uint32),
+                   np.asarray([r.n_inv_shoup for r in ring.rings],
+                              dtype=np.uint32)], axis=1)
+    return (logn, L, sub, tuple(plan), stages, qn)
+
+
+def _ntt_fused_impl4(x, ring, rows_per_block: int = 8, perm: bool = False):
+    key = _stash(ring)
+    logn, L, sub, plan, stages, q = _tables4(key)
+    n = 1 << logn
+    xr, batch, batch_p, shape = _regroup(x, L, n, rows_per_block)
+    out = _run(_fwd_kernel4, xr, stages, q, logn=logn, L=L,
+               rows_per_block=rows_per_block, smem_cols=1, perm=plan)
+    out = out.reshape(L, batch_p, n)[:, :batch]
+    return jnp.moveaxis(out, 0, 1).reshape(shape)
+
+
+def _intt_fused_impl4(x, ring, rows_per_block: int = 8, perm: bool = False):
+    key = _stash(ring)
+    logn, L, sub, plan, stages, qn = _itables4(key)
+    n = 1 << logn
+    xr, batch, batch_p, shape = _regroup(x, L, n, rows_per_block)
+    out = _run(_inv_kernel4, xr, stages, qn, logn=logn, L=L,
+               rows_per_block=rows_per_block, smem_cols=3, perm=plan)
+    out = out.reshape(L, batch_p, n)[:, :batch]
+    return jnp.moveaxis(out, 0, 1).reshape(shape)
+
+
+def ntt_fused32_r4(x, ring, rows_per_block: int = 8):
+    """Radix-4 forward: bit-identical to ntt_fused32."""
+    return _vmap_entry(ring, rows_per_block, _ntt_fused_impl4, 'fwd32r4')(x)
+
+
+def intt_fused32_r4(x, ring, rows_per_block: int = 8):
+    """Radix-4 inverse: bit-identical to intt_fused32."""
+    return _vmap_entry(ring, rows_per_block, _intt_fused_impl4, 'inv32r4')(x)

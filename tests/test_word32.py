@@ -202,6 +202,26 @@ def test_pallas32_ntt_bit_exact(n, batch):
     assert np.array_equal(got_i, x)
 
 
+@pytest.mark.parametrize('n,batch', [(256, (3,)), (1024, (2, 2))])
+def test_pallas32_ntt_radix4_bit_exact(n, batch):
+    """Radix-4 merged-stage kernels (VERDICT r3 item 3): bit-identical to
+    core/ntt in both directions, incl. the vmap-collapsing entry."""
+    from lattisense_tpu.ops.ntt_pallas32 import (intt_fused32_r4,
+                                                 ntt_fused32_r4)
+    chain = tuple(gen_ntt_primes(n, 31, 3))
+    ring = get_rns_ring(chain, n, 32)
+    rng = np.random.default_rng(15)
+    x = np.stack([[rng.integers(0, qi, n, dtype=np.uint64).astype(np.uint32)
+                   for qi in chain]
+                  for _ in range(int(np.prod(batch)))])
+    x = x.reshape(*batch, len(chain), n)
+    want_f = ntt_mod.ntt(np, x, ring)
+    got_f = np.asarray(ntt_fused32_r4(jnp.asarray(x), ring))
+    assert np.array_equal(got_f, want_f)
+    got_i = np.asarray(intt_fused32_r4(jnp.asarray(want_f), ring))
+    assert np.array_equal(got_i, x)
+
+
 def test_pallas32_vmap_collapses():
     from lattisense_tpu.ops.ntt_pallas32 import ntt_fused32
     import jax
