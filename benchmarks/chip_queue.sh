@@ -7,9 +7,11 @@
 # runs the queued measurements STRICTLY serially (one python process per
 # program — overlapping remote compiles degrade both):
 #
-#   1. bench.py                      — driver-format scenario confirm
-#   2. benchmarks/alpha_sweep.py     — key-switch digit-size throughput
-#   3. benchmarks/bootstrap_chip.py toy — n=8192 bootstrap chip timing
+#   1. benchmarks/ntt32_probe.py     — radix-4 vs radix-2 kernel A/B
+#      (VERDICT r3 item 3: the inverse-NTT gap)
+#   2. benchmarks/bootstrap_chip.py toy --segtable — n=8192 bootstrap
+#      chip timing + per-segment table (VERDICT r3 item 2)
+#   3. bench.py                      — driver-format scenario confirm
 #
 # Logs under /tmp/chipq/. Usage: nohup bash benchmarks/chip_queue.sh &
 set -u
@@ -32,18 +34,20 @@ while true; do
   sleep 540
 done
 
-note "bench.py start"
-timeout -k 30 3600 python bench.py > "$LOG/bench.json" 2> "$LOG/bench.err"
-note "bench.py exit $?"
-
-note "alpha_sweep start"
-timeout -k 30 3600 python benchmarks/alpha_sweep.py \
-  > "$LOG/alpha.log" 2>&1
-note "alpha_sweep exit $?"
+note "ntt32_probe (radix A/B) start"
+LATTISENSE_PROBE_ITERS=150 LATTISENSE_PROBE_REPS=3 \
+  timeout -k 30 3600 python benchmarks/ntt32_probe.py --no-perm \
+  > "$LOG/ntt_r4.log" 2> "$LOG/ntt_r4.err"
+note "ntt32_probe exit $?"
 
 note "bootstrap_chip toy start"
-timeout -k 30 7200 python benchmarks/bootstrap_chip.py toy \
-  > "$LOG/btp_toy.log" 2>&1
+timeout -k 30 10800 python benchmarks/bootstrap_chip.py toy --segtable \
+  > "$LOG/btp_toy.log" 2> "$LOG/btp_toy.err"
 note "bootstrap_chip toy exit $?"
+
+note "bench.py start"
+LATTISENSE_BENCH_BUDGET=3000 LATTISENSE_BENCH_ALARM=3300 \
+  timeout -k 30 3600 python bench.py > "$LOG/bench.json" 2> "$LOG/bench.err"
+note "bench.py exit $?"
 
 note "queue done"
