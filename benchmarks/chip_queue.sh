@@ -34,7 +34,12 @@ while true; do
   sleep 540
 done
 
-note "ntt32_probe (radix A/B) start"
+note "r4_ab_probe (headline radix A/B) start"
+timeout -k 30 3600 python benchmarks/r4_ab_probe.py \
+  > "$LOG/r4_ab.log" 2> "$LOG/r4_ab.err"
+note "r4_ab_probe exit $?"
+
+note "ntt32_probe (isolated radix A/B) start"
 LATTISENSE_PROBE_ITERS=150 LATTISENSE_PROBE_REPS=3 \
   timeout -k 30 3600 python benchmarks/ntt32_probe.py --no-perm \
   > "$LOG/ntt_r4.log" 2> "$LOG/ntt_r4.err"

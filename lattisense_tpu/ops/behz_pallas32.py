@@ -153,6 +153,17 @@ def _k1_kernel(logn, L, T, nstages,
 # host-side constants
 # ---------------------------------------------------------------------------
 
+import os as _os
+
+# K3's dual INTT runs the radix-4 merged-pass block when the inverse
+# radix-4 gate is on (one flip covers the standalone kernels AND the
+# megakernel; LATTISENSE_BEHZ32_R4 overrides independently)
+_R4_K3 = _os.environ.get(
+    'LATTISENSE_BEHZ32_R4',
+    _os.environ.get('LATTISENSE_NTT32_R4_INV',
+                    _os.environ.get('LATTISENSE_NTT32_R4', '0'))) \
+    not in ('', '0')
+
 _BZ_STASH: dict = {}
 
 
@@ -338,7 +349,7 @@ def _from_mont32(a, q, pinv):
     return jnp.where(t >= q, t - q, t)
 
 
-def _k3_kernel(logn, L, T, nstages,
+def _k3_kernel(logn, L, T, plan,
                qa_ref, aux_ref, conv1_ref, shen_ref, conv2_ref, sc_ref,
                row_ref, dq_ref, da_ref, *refs):
     """One output polynomial per grid step.
@@ -365,37 +376,43 @@ def _k3_kernel(logn, L, T, nstages,
     v = jnp.concatenate([dq_ref[0], da_ref[0]], axis=0)     # (R, n) ntt+mont
     v = _from_mont32(v, rowq, row_ref[1])
 
-    # fold-idiom inverse NTT (plain GS, ascending distances, per-row primes)
+    # fold-idiom inverse NTT (plain GS, ascending distances, per-row
+    # primes); ``plan`` switches between the radix-2 loops and the
+    # radix-4 merged-pass block shared with ops/ntt_pallas32
     q3 = rowq[:, :, None]
-    si = 0
-    tb = 1
     v = v.reshape(R, sub, LANES).swapaxes(1, 2)
-    while tb < LANES:
-        mb = LANES // (2 * tb)
-        w = refs[2 * si][...]
-        ws = refs[2 * si + 1][...]
-        p = v.reshape(R, mb, 2 * tb * sub)
-        u = p[..., :tb * sub]
-        b = p[..., tb * sub:]
-        s = _addmod32(u, b, q3)
-        d = _shoup32(_submod32(u, b, q3), w, ws, q3)
-        v = jnp.concatenate([s, d], axis=-1)
-        si += 1
-        tb *= 2
-    v = v.reshape(R, LANES, sub).swapaxes(1, 2).reshape(R, n)
-    t = LANES
-    while t < n:
-        m = n // (2 * t)
-        w = refs[2 * si][...]
-        ws = refs[2 * si + 1][...]
-        p = v.reshape(R, m, 2 * t)
-        u = p[..., :t]
-        b = p[..., t:]
-        s = _addmod32(u, b, q3)
-        d = _shoup32(_submod32(u, b, q3), w, ws, q3)
-        v = jnp.concatenate([s, d], axis=-1).reshape(R, n)
-        si += 1
-        t *= 2
+    if plan is not None:
+        from .ntt_pallas32 import inv_stage_block4
+        v, _ = inv_stage_block4(v, refs, 0, plan, q3, R, n, sub)
+    else:
+        si = 0
+        tb = 1
+        while tb < LANES:
+            mb = LANES // (2 * tb)
+            w = refs[2 * si][...]
+            ws = refs[2 * si + 1][...]
+            p = v.reshape(R, mb, 2 * tb * sub)
+            u = p[..., :tb * sub]
+            b = p[..., tb * sub:]
+            s = _addmod32(u, b, q3)
+            d = _shoup32(_submod32(u, b, q3), w, ws, q3)
+            v = jnp.concatenate([s, d], axis=-1)
+            si += 1
+            tb *= 2
+        v = v.reshape(R, LANES, sub).swapaxes(1, 2).reshape(R, n)
+        t = LANES
+        while t < n:
+            m = n // (2 * t)
+            w = refs[2 * si][...]
+            ws = refs[2 * si + 1][...]
+            p = v.reshape(R, m, 2 * t)
+            u = p[..., :t]
+            b = p[..., t:]
+            s = _addmod32(u, b, q3)
+            d = _shoup32(_submod32(u, b, q3), w, ws, q3)
+            v = jnp.concatenate([s, d], axis=-1).reshape(R, n)
+            si += 1
+            t *= 2
     v = _shoup32(v, row_ref[2], row_ref[3], rowq)           # n^-1
 
     dq_c = v[:L]
@@ -527,14 +544,19 @@ def _k3_consts(key):
             out.append(np.ascontiguousarray(tbl[:, idx]))
         return out
 
-    stages = list(zip(expand_inv(tw), expand_inv(ts)))
+    if _R4_K3:
+        from .ntt_pallas32 import expand_inv_tables4
+        plan, stages = expand_inv_tables4(tw, ts, logn)
+    else:
+        plan = None
+        stages = list(zip(expand_inv(tw), expand_inv(ts)))
     return (logn, L, T, qa_c, aux_c, conv1_c, shen_c, conv2_c, sc_c, row_c,
-            stages)
+            stages, plan)
 
 
 def _k3_impl(dq, da, key):
     (logn, L, T, qa_c, aux_c, conv1_c, shen_c, conv2_c, sc_c, row_c,
-     stages) = _k3_consts(key)
+     stages, plan) = _k3_consts(key)
     n = 1 << logn
     R = L + T
     shape = dq.shape
@@ -560,7 +582,7 @@ def _k3_impl(dq, da, key):
                            memory_space=pltpu.VMEM)
     interp = jax.default_backend() == 'cpu'
     f = pl.pallas_call(
-        functools.partial(_k3_kernel, logn, L, T, len(stages)),
+        functools.partial(_k3_kernel, logn, L, T, plan),
         interpret=interp,
         compiler_params=_CPARAMS,
         grid=(G,),

@@ -106,6 +106,89 @@ def _inv_rows(v, tabs, q3, ni, ns, n, sub):
     return _shoup32(v, ni, ns, q3[:, :, 0])
 
 
+def _fwd_rows4(v, tabs, q3, n, sub, plan):
+    """Radix-4 merged-pass forward twin of _fwd_rows (plan from
+    ntt_pallas32.expand_fwd_tables4; r4 passes consume three table pairs
+    ordered [level-2t, level-t even, level-t odd])."""
+    rows = v.shape[0]
+    si = 0
+    in_t = False
+    for kind, m, ts_, transposed in plan:
+        if transposed and not in_t:
+            v = v.reshape(rows, sub, LANES).swapaxes(1, 2)
+            in_t = True
+        width = ts_ * sub if transposed else ts_
+        if kind == 'r2':
+            w, ws = tabs[si][0][:rows], tabs[si][1][:rows]
+            si += 1
+            p = v.reshape(rows, m, 2 * width)
+            u = p[..., :width]
+            b = _shoup32(p[..., width:], w, ws, q3)
+            v = jnp.concatenate([_addmod32(u, b, q3), _submod32(u, b, q3)],
+                                axis=-1)
+        else:
+            w2, w2s = tabs[si][0][:rows], tabs[si][1][:rows]
+            w1a, w1as = tabs[si + 1][0][:rows], tabs[si + 1][1][:rows]
+            w1b, w1bs = tabs[si + 2][0][:rows], tabs[si + 2][1][:rows]
+            si += 3
+            p = v.reshape(rows, m, 4 * width)
+            u = p[..., :2 * width]
+            b = _shoup32(p[..., 2 * width:], w2, w2s, q3)
+            top = _addmod32(u, b, q3)
+            bot = _submod32(u, b, q3)
+            t0 = top[..., :width]
+            t1 = _shoup32(top[..., width:], w1a, w1as, q3)
+            b0 = bot[..., :width]
+            b1 = _shoup32(bot[..., width:], w1b, w1bs, q3)
+            v = jnp.concatenate(
+                [_addmod32(t0, t1, q3), _submod32(t0, t1, q3),
+                 _addmod32(b0, b1, q3), _submod32(b0, b1, q3)], axis=-1)
+        if not transposed:
+            v = v.reshape(rows, n)
+    return v.reshape(rows, LANES, sub).swapaxes(1, 2).reshape(rows, n)
+
+
+def _inv_rows4(v, tabs, q3, ni, ns, n, sub, plan):
+    """Radix-4 merged-pass inverse twin of _inv_rows (+ n^-1 scale)."""
+    rows = v.shape[0]
+    si = 0
+    in_t = True
+    v = v.reshape(rows, sub, LANES).swapaxes(1, 2)
+    for kind, m, ts_, transposed in plan:
+        if not transposed and in_t:
+            v = v.reshape(rows, LANES, sub).swapaxes(1, 2).reshape(rows, n)
+            in_t = False
+        width = ts_ * sub if transposed else ts_
+        if kind == 'r2':
+            w, ws = tabs[si][0][:rows], tabs[si][1][:rows]
+            si += 1
+            p = v.reshape(rows, m, 2 * width)
+            u, b = p[..., :width], p[..., width:]
+            s = _addmod32(u, b, q3)
+            d = _shoup32(_submod32(u, b, q3), w, ws, q3)
+            v = jnp.concatenate([s, d], axis=-1)
+        else:
+            w1a, w1as = tabs[si][0][:rows], tabs[si][1][:rows]
+            w1b, w1bs = tabs[si + 1][0][:rows], tabs[si + 1][1][:rows]
+            w2, w2s = tabs[si + 2][0][:rows], tabs[si + 2][1][:rows]
+            si += 3
+            p = v.reshape(rows, m, 4 * width)
+            pa, pb = p[..., :width], p[..., width:2 * width]
+            pc, pd = p[..., 2 * width:3 * width], p[..., 3 * width:]
+            s_ab = _addmod32(pa, pb, q3)
+            d_ab = _shoup32(_submod32(pa, pb, q3), w1a, w1as, q3)
+            s_cd = _addmod32(pc, pd, q3)
+            d_cd = _shoup32(_submod32(pc, pd, q3), w1b, w1bs, q3)
+            v = jnp.concatenate(
+                [_addmod32(s_ab, s_cd, q3), _addmod32(d_ab, d_cd, q3),
+                 _shoup32(_submod32(s_ab, s_cd, q3), w2, w2s, q3),
+                 _shoup32(_submod32(d_ab, d_cd, q3), w2, w2s, q3)],
+                axis=-1)
+        if not transposed:
+            v = v.reshape(rows, n)
+    return _shoup32(v, ni, ns, q3[:, :, 0])
+
+
 def _mul32_pair(a, b):
     """Full 32×32→64 product of u32 arrays as (hi, lo) u32."""
     a0 = a & jnp.uint32(MASK16)
@@ -121,7 +204,7 @@ def _mul32_pair(a, b):
     return hi, lo
 
 
-def _ksw_kernel(logn, L, T, alpha, beta, nfwd, ninv, out_ntt,
+def _ksw_kernel(logn, L, T, alpha, beta, nfwd, ninv, out_ntt, plans,
                 dec_ref, mc_ref, qp_ref, dq_ref, dp_ref, c2_ref,
                 x_ref, kd_ref, *refs):
     """One ciphertext's key switch per grid step.
@@ -141,6 +224,19 @@ def _ksw_kernel(logn, L, T, alpha, beta, nfwd, ninv, out_ntt,
     fwd_tabs = [(refs[2 * i], refs[2 * i + 1]) for i in range(nfwd)]
     inv_tabs = [(refs[2 * nfwd + 2 * i], refs[2 * nfwd + 2 * i + 1])
                 for i in range(ninv)]
+    fwd_plan, inv_plan = plans
+    if fwd_plan is not None:
+        def fwd_fn(v, tabs, q3):
+            return _fwd_rows4(v, tabs, q3, n, sub, fwd_plan)
+
+        def inv_fn(v, tabs, q3, ni, ns):
+            return _inv_rows4(v, tabs, q3, ni, ns, n, sub, inv_plan)
+    else:
+        def fwd_fn(v, tabs, q3):
+            return _fwd_rows(v, tabs, q3, n, sub)
+
+        def inv_fn(v, tabs, q3, ni, ns):
+            return _inv_rows(v, tabs, q3, ni, ns, n, sub)
     x = x_ref[0]                                          # (L, n)
     if BA > L:
         x = jnp.concatenate([x, jnp.zeros((BA - L, n), jnp.uint32)], axis=0)
@@ -160,7 +256,7 @@ def _ksw_kernel(logn, L, T, alpha, beta, nfwd, ninv, out_ntt,
             r = r0 + j
             ext = _addmod32(ext, _shoup32(y[r:r + 1], mc_ref[r],
                                           mc_ref[BA + r], qp), qp)
-        digs.append(_fwd_rows(ext, fwd_tabs, qp3, n, sub))
+        digs.append(fwd_fn(ext, fwd_tabs, qp3))
 
     qL = dq_ref[0]
     qL3 = qL[:, :, None]
@@ -171,7 +267,7 @@ def _ksw_kernel(logn, L, T, alpha, beta, nfwd, ninv, out_ntt,
         for d in range(1, beta):
             acc = _addmod32(acc, _mont32(digs[d], kd_ref[0, d, c], qp,
                                          qppinv), qp)
-        v = _inv_rows(acc, inv_tabs, qp3, qp_ref[2], qp_ref[3], n, sub)
+        v = inv_fn(acc, inv_tabs, qp3, qp_ref[2], qp_ref[3])
         cq = v[:L]
         cp = v[L:]
         # mod-down with the fixed-point HPS overflow correction
@@ -191,7 +287,7 @@ def _ksw_kernel(logn, L, T, alpha, beta, nfwd, ninv, out_ntt,
         vcorr = hi >> 30                                  # (1, n)
         e = _addmod32(e, vcorr, qL)
         if out_ntt:
-            e = _fwd_rows(e, fwd_tabs, qL3, n, sub)
+            e = fwd_fn(e, fwd_tabs, qL3)
         outs.append(e)
 
     refs[-1][0] = jnp.stack(outs)
@@ -216,6 +312,11 @@ import os as _os
 # digit rows (already amortized), so the splat economics differ from the
 # standalone NTT kernels — A/B'd separately on chip.
 _KSW_SPLAT = _os.environ.get('LATTISENSE_KSW32_SPLAT', '0') not in ('', '0')
+# radix-4 merged passes inside the fused switch (follows the NTT32 gate
+# unless overridden; natural-phase tables are splat under radix-4)
+_KSW_R4 = _os.environ.get(
+    'LATTISENSE_KSW32_R4',
+    _os.environ.get('LATTISENSE_NTT32_R4', '0')) not in ('', '0')
 
 
 def _expand(tbl, plan, logn, sub):
@@ -310,11 +411,18 @@ def _ksw_consts(key):
     ts = np.asarray(ring.psi_rev_shoup, dtype=np.uint32)
     ti = np.asarray(ring.psi_inv_rev, dtype=np.uint32)
     tis = np.asarray(ring.psi_inv_rev_shoup, dtype=np.uint32)
-    fwd = list(zip(_expand(tw, _stage_plan(logn), logn, sub),
-                   _expand(ts, _stage_plan(logn), logn, sub)))
-    inv = list(zip(_expand(ti, _inv_stage_plan(logn), logn, sub),
-                   _expand(tis, _inv_stage_plan(logn), logn, sub)))
-    return (logn, L, T, alpha, beta, dec, mc, qp_c, dq_c, dp_c, c2, fwd, inv)
+    if _KSW_R4:
+        from .ntt_pallas32 import expand_fwd_tables4, expand_inv_tables4
+        fwd_plan, fwd = expand_fwd_tables4(tw, ts, logn)
+        inv_plan, inv = expand_inv_tables4(ti, tis, logn)
+    else:
+        fwd_plan = inv_plan = None
+        fwd = list(zip(_expand(tw, _stage_plan(logn), logn, sub),
+                       _expand(ts, _stage_plan(logn), logn, sub)))
+        inv = list(zip(_expand(ti, _inv_stage_plan(logn), logn, sub),
+                       _expand(tis, _inv_stage_plan(logn), logn, sub)))
+    return (logn, L, T, alpha, beta, dec, mc, qp_c, dq_c, dp_c, c2, fwd, inv,
+            (fwd_plan, inv_plan))
 
 
 def _im(*vals):
@@ -327,7 +435,7 @@ _CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024,
 
 def _ksw_impl(x, key_q, key_p, key, out_ntt):
     (logn, L, T, alpha, beta, dec, mc, qp_c, dq_c, dp_c, c2,
-     fwd, inv) = _ksw_consts(key)
+     fwd, inv, plans) = _ksw_consts(key)
     n = 1 << logn
     shape = x.shape
     G = int(np.prod(shape[:-2])) if len(shape) > 2 else 1
@@ -357,7 +465,7 @@ def _ksw_impl(x, key_q, key_p, key, out_ntt):
     interp = jax.default_backend() == 'cpu'
     f = pl.pallas_call(
         functools.partial(_ksw_kernel, logn, L, T, alpha, beta,
-                          len(fwd), len(inv), out_ntt),
+                          len(fwd), len(inv), out_ntt, plans),
         interpret=interp,
         compiler_params=_CPARAMS,
         grid=(G,),

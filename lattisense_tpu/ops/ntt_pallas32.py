@@ -536,14 +536,11 @@ def _pair_stages(plan):
     return out
 
 
-def _fwd_kernel4(logn, rows, plan, q_ref, x_ref, *refs):
-    """CT forward with merged (2t, t) passes; natural -> bit-reversed."""
-    n = 1 << logn
-    sub = n // LANES
-    limb = pl.program_id(0)
-    q = q_ref[limb, 0]
-    v = x_ref[...]
-    ri = 0
+def fwd_stage_block4(v, refs, ri, plan, q, rows, n, sub):
+    """Merged-pass CT forward stage block (shared with the K1/ksw
+    megakernels): ``v`` (rows, n) natural order; returns (v in the
+    TRANSPOSED tile layout (rows, LANES, sub)-flat, next ref index).
+    ``q`` broadcastable over (rows, m, width)."""
     in_t = False
     for kind, m, ts, transposed in plan:
         if transposed and not in_t:
@@ -577,18 +574,26 @@ def _fwd_kernel4(logn, rows, plan, q_ref, x_ref, *refs):
                  _addmod32(b0, b1, q), _submod32(b0, b1, q)], axis=-1)
         if not transposed:
             v = v.reshape(rows, n)
+    return v, ri
+
+
+def _fwd_kernel4(logn, rows, plan, q_ref, x_ref, *refs):
+    """CT forward with merged (2t, t) passes; natural -> bit-reversed."""
+    n = 1 << logn
+    sub = n // LANES
+    limb = pl.program_id(0)
+    q = q_ref[limb, 0]
+    v, _ = fwd_stage_block4(x_ref[...], refs, 0, plan, q, rows, n, sub)
     v = v.reshape(rows, LANES, sub).swapaxes(1, 2)
     refs[-1][...] = v.reshape(rows, n)
 
 
-def _inv_kernel4(logn, rows, plan, qn_ref, x_ref, *refs):
-    """GS inverse with merged (t, 2t) passes; bit-reversed -> natural."""
-    n = 1 << logn
-    sub = n // LANES
-    limb = pl.program_id(0)
-    q = qn_ref[limb, 0]
-    v = x_ref[...].reshape(rows, sub, LANES).swapaxes(1, 2)
-    ri = 0
+def inv_stage_block4(v, refs, ri, plan, q, rows, n, sub):
+    """Merged-pass GS inverse stage block, shared by _inv_kernel4 and the
+    K3 BEHZ megakernel: ``v`` (rows, LANES, sub) in the TRANSPOSED tile
+    layout, ``q`` broadcastable over (rows, m, width) (scalar per-limb
+    grids, or a (rows, 1, 1) column for per-row-modulus kernels).
+    Returns (v natural-order (rows, n), next ref index)."""
     in_t = True
     for kind, m, ts, transposed in plan:
         if not transposed and in_t:
@@ -621,6 +626,17 @@ def _inv_kernel4(logn, rows, plan, qn_ref, x_ref, *refs):
                  _shoup32(_submod32(d_ab, d_cd, q), w2, w2s, q)], axis=-1)
         if not transposed:
             v = v.reshape(rows, n)
+    return v, ri
+
+
+def _inv_kernel4(logn, rows, plan, qn_ref, x_ref, *refs):
+    """GS inverse with merged (t, 2t) passes; bit-reversed -> natural."""
+    n = 1 << logn
+    sub = n // LANES
+    limb = pl.program_id(0)
+    q = qn_ref[limb, 0]
+    v = x_ref[...].reshape(rows, sub, LANES).swapaxes(1, 2)
+    v, _ = inv_stage_block4(v, refs, 0, plan, q, rows, n, sub)
     ni = qn_ref[limb, 1]
     ns = qn_ref[limb, 2]
     v = _shoup32(v, ni, ns, q)
@@ -649,17 +665,12 @@ def _expand_nat(tw, ts, idx_vec):
     return (np.ascontiguousarray(tw[:, idx]), np.ascontiguousarray(ts[:, idx]))
 
 
-@functools.lru_cache(maxsize=None)
-def _tables4(ring_key):
-    """Forward radix-4 plan + tables: plan entries ('r2', m, t, transposed)
-    consume one (w, ws) pair; ('r4', m4, t_small, transposed) consume three
-    pairs ordered [level-2t, level-t even blocks, level-t odd blocks]."""
-    ring, = _RING_STASH[ring_key]
-    n, L = ring.n, len(ring.moduli)
-    logn = n.bit_length() - 1
-    sub = n // LANES
-    tw = np.ascontiguousarray(ring.psi_rev, dtype=np.uint32)
-    ts = np.ascontiguousarray(ring.psi_rev_shoup, dtype=np.uint32)
+def expand_fwd_tables4(tw, ts, logn):
+    """Forward radix-4 (plan, stages) from stacked psi_rev tables
+    (rows, n): plan entries ('r2', m, t, transposed) consume one (w, ws)
+    pair; ('r4', m4, t_small, transposed) consume three pairs ordered
+    [level-2t, level-t even blocks, level-t odd blocks]."""
+    n = 1 << logn
     plan, stages = [], []
     for pair in _pair_stages(_stage_plan(logn)):
         if len(pair) == 1:
@@ -684,20 +695,29 @@ def _tables4(ring_key):
                 stages.append(_expand_nat(tw, ts, m1 + 2 * np.arange(m4)))
                 stages.append(_expand_nat(tw, ts,
                                           m1 + 2 * np.arange(m4) + 1))
-    q = np.asarray(ring.q, dtype=np.uint32).reshape(L, 1)
-    return (logn, L, sub, tuple(plan), stages, q)
+    return tuple(plan), stages
 
 
 @functools.lru_cache(maxsize=None)
-def _itables4(ring_key):
-    """Inverse radix-4 plan + tables; r4 pairs consume [level-t even,
-    level-t odd, level-2t (truncated to t width)]."""
+def _tables4(ring_key):
+    """Forward radix-4 plan + tables for one ring (per-limb grids)."""
     ring, = _RING_STASH[ring_key]
     n, L = ring.n, len(ring.moduli)
     logn = n.bit_length() - 1
     sub = n // LANES
-    tinv = np.ascontiguousarray(ring.psi_inv_rev, dtype=np.uint32)
-    tinv_s = np.ascontiguousarray(ring.psi_inv_rev_shoup, dtype=np.uint32)
+    tw = np.ascontiguousarray(ring.psi_rev, dtype=np.uint32)
+    ts = np.ascontiguousarray(ring.psi_rev_shoup, dtype=np.uint32)
+    plan, stages = expand_fwd_tables4(tw, ts, logn)
+    q = np.asarray(ring.q, dtype=np.uint32).reshape(L, 1)
+    return (logn, L, sub, plan, stages, q)
+
+
+def expand_inv_tables4(tinv, tinv_s, logn):
+    """Inverse radix-4 (plan, stages) from stacked psi_inv_rev tables
+    (rows, n) — rows may be limbs OR the K3 megakernel's concatenated
+    multi-ring rows. r4 pairs consume [level-t even, level-t odd,
+    level-2t (truncated to t width)]."""
+    n = 1 << logn
     plan, stages = [], []
     for pair in _pair_stages(_inv_stage_plan(logn)):
         if len(pair) == 1:
@@ -728,12 +748,25 @@ def _itables4(ring_key):
                 stages.append(_expand_nat(tinv, tinv_s,
                                           m1 + 2 * np.arange(m4) + 1))
                 stages.append(_expand_nat(tinv, tinv_s, m2 + np.arange(m4)))
+    return tuple(plan), stages
+
+
+@functools.lru_cache(maxsize=None)
+def _itables4(ring_key):
+    """Inverse radix-4 plan + tables for one ring (per-limb grids)."""
+    ring, = _RING_STASH[ring_key]
+    n, L = ring.n, len(ring.moduli)
+    logn = n.bit_length() - 1
+    sub = n // LANES
+    tinv = np.ascontiguousarray(ring.psi_inv_rev, dtype=np.uint32)
+    tinv_s = np.ascontiguousarray(ring.psi_inv_rev_shoup, dtype=np.uint32)
+    plan, stages = expand_inv_tables4(tinv, tinv_s, logn)
     qn = np.stack([np.asarray(ring.q, dtype=np.uint32).reshape(-1),
                    np.asarray([r.n_inv for r in ring.rings],
                               dtype=np.uint32),
                    np.asarray([r.n_inv_shoup for r in ring.rings],
                               dtype=np.uint32)], axis=1)
-    return (logn, L, sub, tuple(plan), stages, qn)
+    return (logn, L, sub, plan, stages, qn)
 
 
 def _ntt_fused_impl4(x, ring, rows_per_block: int = 8, perm: bool = False):
