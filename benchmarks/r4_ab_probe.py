@@ -22,7 +22,9 @@ def _set_r4(on: bool):
     k32._R4 = on
     k32._R4_INV = on
     bz._R4_K3 = on
+    bz._R4_K1 = on
     bz._k3_consts.cache_clear()
+    bz._k1_consts.cache_clear()
     kw._KSW_R4 = on
     kw._ksw_consts.cache_clear()
 

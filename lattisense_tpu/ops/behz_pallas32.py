@@ -52,7 +52,7 @@ def _mont32(a, b, q, pinv):
 # K1 kernel
 # ---------------------------------------------------------------------------
 
-def _k1_kernel(logn, L, T, nstages,
+def _k1_kernel(logn, L, T, plan,
                src_ref, dst_ref, conv_ref, row_ref, x_ref, *refs):
     """One polynomial per grid step.
 
@@ -109,37 +109,42 @@ def _k1_kernel(logn, L, T, nstages,
     s = _addmod32(ext, term, dq)
     ext2 = _shoup32(s, mti_v, mti_s, dq)
 
-    # fold-idiom forward NTT over all R rows (per-row primes)
+    # fold-idiom forward NTT over all R rows (per-row primes); ``plan``
+    # switches between the radix-2 loops and the shared radix-4 block
     v = jnp.concatenate([x, ext2], axis=0)           # (R, n)
     rowq = row_ref[0]                                # (R, 1)
-    si = 0
-    m = 1
-    t = n
     q3 = rowq[:, :, None]                            # (R, 1, 1)
-    while t > LANES:
-        t //= 2
-        w = refs[2 * si][...]
-        ws = refs[2 * si + 1][...]
-        p = v.reshape(R, m, 2 * t)
-        u = p[..., :t]
-        b = _shoup32(p[..., t:], w, ws, q3)
-        v = jnp.concatenate([_addmod32(u, b, q3), _submod32(u, b, q3)],
-                            axis=-1).reshape(R, n)
-        m *= 2
-        si += 1
-    v = v.reshape(R, sub, LANES).swapaxes(1, 2)
-    tb = LANES
-    while tb > 1:
-        tb //= 2
-        mb = LANES // (2 * tb)
-        w = refs[2 * si][...]
-        ws = refs[2 * si + 1][...]
-        p = v.reshape(R, mb, 2 * tb * sub)
-        u = p[..., :tb * sub]
-        b = _shoup32(p[..., tb * sub:], w, ws, q3)
-        v = jnp.concatenate([_addmod32(u, b, q3), _submod32(u, b, q3)],
-                            axis=-1)
-        si += 1
+    if plan is not None:
+        from .ntt_pallas32 import fwd_stage_block4
+        v, _ = fwd_stage_block4(v, refs, 0, plan, q3, R, n, sub)
+    else:
+        si = 0
+        m = 1
+        t = n
+        while t > LANES:
+            t //= 2
+            w = refs[2 * si][...]
+            ws = refs[2 * si + 1][...]
+            p = v.reshape(R, m, 2 * t)
+            u = p[..., :t]
+            b = _shoup32(p[..., t:], w, ws, q3)
+            v = jnp.concatenate([_addmod32(u, b, q3), _submod32(u, b, q3)],
+                                axis=-1).reshape(R, n)
+            m *= 2
+            si += 1
+        v = v.reshape(R, sub, LANES).swapaxes(1, 2)
+        tb = LANES
+        while tb > 1:
+            tb //= 2
+            mb = LANES // (2 * tb)
+            w = refs[2 * si][...]
+            ws = refs[2 * si + 1][...]
+            p = v.reshape(R, mb, 2 * tb * sub)
+            u = p[..., :tb * sub]
+            b = _shoup32(p[..., tb * sub:], w, ws, q3)
+            v = jnp.concatenate([_addmod32(u, b, q3), _submod32(u, b, q3)],
+                                axis=-1)
+            si += 1
     v = v.reshape(R, LANES, sub).swapaxes(1, 2).reshape(R, n)
 
     # to-Montgomery: x·R = shoup by (R mod q)
@@ -163,6 +168,10 @@ _R4_K3 = _os.environ.get(
     _os.environ.get('LATTISENSE_NTT32_R4_INV',
                     _os.environ.get('LATTISENSE_NTT32_R4', '0'))) \
     not in ('', '0')
+# K1's forward NTTs follow the FORWARD gate (decided separately on chip)
+_R4_K1 = _os.environ.get(
+    'LATTISENSE_BEHZ32_R4_K1',
+    _os.environ.get('LATTISENSE_NTT32_R4', '0')) not in ('', '0')
 
 _BZ_STASH: dict = {}
 
@@ -257,8 +266,14 @@ def _k1_consts(key):
                          np.asarray(ra.psi_rev, dtype=np.uint32)])
     ts = np.concatenate([np.asarray(rq.psi_rev_shoup, dtype=np.uint32),
                          np.asarray(ra.psi_rev_shoup, dtype=np.uint32)])
-    stages = list(zip(_expand_rows(tw, logn, sub), _expand_rows(ts, logn, sub)))
-    return (logn, L, T, src_c, dst_c, conv_c, row_c, stages)
+    if _R4_K1:
+        from .ntt_pallas32 import expand_fwd_tables4
+        k1_plan, stages = expand_fwd_tables4(tw, ts, logn)
+    else:
+        k1_plan = None
+        stages = list(zip(_expand_rows(tw, logn, sub),
+                          _expand_rows(ts, logn, sub)))
+    return (logn, L, T, src_c, dst_c, conv_c, row_c, stages, k1_plan)
 
 
 # ---------------------------------------------------------------------------
@@ -274,7 +289,8 @@ _CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024,
 
 
 def _k1_impl(x, key):
-    logn, L, T, src_c, dst_c, conv_c, row_c, stages = _k1_consts(key)
+    (logn, L, T, src_c, dst_c, conv_c, row_c, stages,
+     k1_plan) = _k1_consts(key)
     n = 1 << logn
     R = L + T
     shape = x.shape
@@ -301,7 +317,7 @@ def _k1_impl(x, key):
                            memory_space=pltpu.VMEM)
     interp = jax.default_backend() == 'cpu'
     f = pl.pallas_call(
-        functools.partial(_k1_kernel, logn, L, T, len(stages)),
+        functools.partial(_k1_kernel, logn, L, T, k1_plan),
         interpret=interp,
         compiler_params=_CPARAMS,
         grid=(G,),
