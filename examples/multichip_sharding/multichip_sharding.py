@@ -105,6 +105,28 @@ def main():
     assert np.array_equal(dec, expect)
     print('coeff axis: one ciphertext over 4 devices (distributed NTT), '
           'relin + rotation — bit-exact, decrypts to the oracle')
+
+    # ---- 4. the sharded ENGINE: unmodified scheme code inside shard_map --
+    # (round 4: the production composition — every transform of the
+    # ordinary engine op surface dispatches to the distributed bodies)
+    import jax.numpy as jnp
+    from lattisense_tpu.parallel.sharded_engine import (
+        make_coeff_sharded_engine)
+    eng_sh = make_coeff_sharded_engine(ctx.engine, cmesh)
+
+    def body(d3, rlk, glk):
+        c3 = Ciphertext(data=d3, level=level, is_ntt=False)
+        c = eng_sh.relinearize(jnp, c3, rlk)
+        return eng_sh.apply_galois(jnp, c, gal, glk).data
+
+    sp3, sp4 = P(None, None, 'coeff'), P(None, None, None, 'coeff')
+    f_sh = jax.jit(jax.shard_map(body, mesh=cmesh, in_specs=(sp3, sp4, sp4),
+                                 out_specs=sp3, check_vma=False))
+    got_eng = np.asarray(f_sh(np.asarray(ct3.data), ctx.rlk,
+                              ctx.glk.keys[gal]))
+    assert np.array_equal(got_eng, got_rot)
+    print('sharded engine: engine.relinearize + apply_galois inside '
+          'shard_map (coeff axis) — bit-exact')
     print('OK')
 
 

@@ -154,10 +154,24 @@ def _make_subclass(cls):
             return super().sub(xp, a, self._cs_pt(xp, b))
 
         def mult(self, xp, a, b):
+            if (xp is not np and isinstance(b, Ciphertext)
+                    and hasattr(self, 'behz')):
+                # The BFV BEHZ tensor product runs over its own dual-basis
+                # rings (ring_q/ring_aux inside BehzMult), which do not go
+                # through the ring(level) seam — a coeff-sharded BEHZ needs
+                # its own distributed basis-conversion bodies. Refuse
+                # loudly instead of transforming local shards with full-n
+                # twiddles (silent corruption).
+                raise NotImplementedError(
+                    'BFV ct x ct mult (BEHZ) is not coeff-sharded yet; '
+                    'compute the tensor product unsharded and shard the '
+                    'relinearization/rotations, or use the CKKS engine '
+                    '(pointwise NTT-domain mult, fully supported)')
             return super().mult(xp, a, self._cs_pt(xp, b))
 
-        # -- Galois: all_gather + static local take (NTT domain) ----------
+        # -- Galois: all_gather + static local take ------------------------
         def _cs_auto_ntt(self, x, g: int):
+            """σ_g on NTT-domain shards: a pure index permutation."""
             perm = ntt_automorphism_perm(self.n, g).astype(np.int32)
             d = jax.lax.axis_index(self._cs_axis)
             full = jax.lax.all_gather(x, self._cs_axis, axis=x.ndim - 1,
@@ -166,33 +180,81 @@ def _make_subclass(cls):
                                                d * self._cs_C, self._cs_C)
             return jnp.take(full, src, axis=-1)
 
-        def apply_galois(self, xp, ct, galois_elt: int, glk):
+        def _cs_auto_coeff(self, x, g: int, q_col):
+            """σ_g on coeff-domain shards: permutation + sign (x^n = -1)."""
+            from ..schemes.galois import coeff_automorphism_maps
+            from .coeff_sharded import galois_body
+            src, sign = coeff_automorphism_maps(self.n, g)
+            return galois_body(x, src.astype(np.int32),
+                               sign.astype(x.dtype), q_col, self._cs_axis,
+                               self._cs_C)
+
+        def apply_galois(self, xp, ct, galois_elt: int, glk, **kw):
             if xp is np:
-                return self._cs_base.apply_galois(xp, ct, galois_elt, glk)
+                return self._cs_base.apply_galois(xp, ct, galois_elt, glk,
+                                                  **kw)
             level = ct.level
             ring = self.ring(level)
-            c0 = self._cs_auto_ntt(ct.data[0], galois_elt)
-            c1 = self._cs_auto_ntt(ct.data[1], galois_elt)
-            e0, e1 = self.switcher.switch(xp, ntt_mod.intt(xp, c1, ring),
-                                          glk, level, output_ntt=True)
-            return Ciphertext(data=xp.stack([_u.addmod(xp, c0, e0, ring.q),
-                                             e1]),
-                              level=level, is_ntt=True, scale=ct.scale)
+            if not hasattr(self, 'behz'):               # CKKS: NTT domain
+                c0 = self._cs_auto_ntt(ct.data[0], galois_elt)
+                c1 = self._cs_auto_ntt(ct.data[1], galois_elt)
+                e0, e1 = self.switcher.switch(
+                    xp, ntt_mod.intt(xp, c1, ring), glk, level,
+                    output_ntt=True)
+                return Ciphertext(
+                    data=xp.stack([_u.addmod(xp, c0, e0, ring.q), e1]),
+                    level=level, is_ntt=True, scale=ct.scale)
+            # BFV: mirror BfvEngine.apply_galois (any input form,
+            # schemes/bfv.py:411) with sharded automorphisms
+            out_ntt = kw.get('out_ntt')
+            out_mform = kw.get('out_mform')
+            out_ntt = ct.is_ntt if out_ntt is None else out_ntt
+            out_mform = ct.is_mform if out_mform is None else out_mform
+            data = ct.data
+            if ct.is_mform:
+                data = _u.from_mont(xp, data, ring.q, ring.pinv)
+            if ct.is_ntt:
+                data = ntt_mod.intt(xp, data, ring)
+            c0 = self._cs_auto_coeff(data[0], galois_elt, ring.q)
+            c1 = self._cs_auto_coeff(data[1], galois_elt, ring.q)
+            e0, e1 = self.switcher.switch(xp, c1, glk, level)
+            out = xp.stack([_u.addmod(xp, c0, e0, ring.q), e1])
+            if out_ntt:
+                out = ntt_mod.ntt(xp, out, ring)
+            if out_mform:
+                out = _u.to_mont(xp, out, ring.q, ring.pinv, ring.r2)
+            return Ciphertext(data=out, level=level, is_ntt=out_ntt,
+                              is_mform=out_mform, scale=ct.scale)
 
         def apply_galois_decomposed(self, xp, dct, galois_elt: int, glk,
-                                    **_ignored):
+                                    **kw):
             if xp is np:
                 return self._cs_base.apply_galois_decomposed(
-                    xp, dct, galois_elt, glk)
+                    xp, dct, galois_elt, glk, **kw)
             level = dct.level
             ring = self.ring(level)
-            c0 = self._cs_auto_ntt(dct.c0, galois_elt)
+            if not hasattr(self, 'behz'):               # CKKS
+                c0 = self._cs_auto_ntt(dct.c0, galois_elt)
+                digits = self._cs_auto_ntt(dct.digits, galois_elt)
+                e0, e1 = self.switcher.switch_from_digits(
+                    xp, digits, glk, level, output_ntt=True)
+                return Ciphertext(
+                    data=xp.stack([_u.addmod(xp, c0, e0, ring.q), e1]),
+                    level=level, is_ntt=True, scale=dct.scale)
+            out_ntt = bool(kw.get('out_ntt', False))
+            out_mform = bool(kw.get('out_mform', False))
+            c0 = self._cs_auto_coeff(dct.c0, galois_elt, ring.q)
             digits = self._cs_auto_ntt(dct.digits, galois_elt)
-            e0, e1 = self.switcher.switch_from_digits(xp, digits, glk, level,
-                                                      output_ntt=True)
-            return Ciphertext(data=xp.stack([_u.addmod(xp, c0, e0, ring.q),
-                                             e1]),
-                              level=level, is_ntt=True, scale=dct.scale)
+            e0, e1 = self.switcher.switch_from_digits(xp, digits, glk,
+                                                      level,
+                                                      output_ntt=out_ntt)
+            if out_ntt:
+                c0 = ntt_mod.ntt(xp, c0, ring)
+            data = xp.stack([_u.addmod(xp, c0, e0, ring.q), e1])
+            if out_mform:
+                data = _u.to_mont(xp, data, ring.q, ring.pinv, ring.r2)
+            return Ciphertext(data=data, level=level, is_ntt=out_ntt,
+                              is_mform=out_mform, scale=dct.scale)
 
     Sharded.__name__ = 'CoeffSharded' + cls.__name__
     Sharded.__qualname__ = Sharded.__name__

@@ -192,3 +192,52 @@ def test_coeff_sharded_bootstrap_toy():
                                   np.asarray(host.data))
     err = np.max(np.abs(ctx.decrypt_decode(out).real - msg))
     assert err < 5e-3, f'coeff-sharded bootstrap err {err:.2e}'
+
+
+def test_sharded_engine_bfv_relin_rotate():
+    """BFV coeff-domain engine surface under coeff sharding: relinearize
+    + apply_galois (signed coeff-domain automorphism + coeff-sharded
+    switch) bit-exact; BFV ct x ct mult (BEHZ over its own dual-basis
+    rings) must refuse loudly instead of corrupting."""
+    from lattisense_tpu.core.modring import gen_ntt_primes
+    from lattisense_tpu.params import BfvParams
+    from lattisense_tpu.runtime import BfvContext
+
+    n, t = 256, 65537
+    q = gen_ntt_primes(n, 50, 4)
+    p = gen_ntt_primes(n, 51, 2, exclude=tuple(q))
+    params = BfvParams.create_custom(n, t, q, p)
+    ctx = BfvContext.create_random_context(params, seed=23)
+    elt = galois_elt_col(1, n)
+    ctx.gen_galois_keys_for_elements([elt])
+    mesh = _mesh(4)
+    eng = ctx.engine
+    eng_sh = make_coeff_sharded_engine(eng, mesh)
+    rng = np.random.default_rng(8)
+    lvl = 3
+    m1 = rng.integers(0, t, n, dtype=np.uint64)
+    m2 = rng.integers(0, t, n, dtype=np.uint64)
+    a = ctx.encrypt(ctx.encode(m1, lvl))
+    b = ctx.encrypt(ctx.encode(m2, lvl))
+    ct3 = eng.mult(np, a, b)
+    g = eng.apply_galois(np, eng.relinearize(np, ct3, ctx.rlk), elt,
+                         ctx.glk.keys[elt])
+
+    def fn(e, ds, ks):
+        c3 = Ciphertext(data=ds[0], level=lvl, is_ntt=False)
+        c = e.relinearize(jnp, c3, ks['rlk'])
+        return e.apply_galois(jnp, c, elt, ks['glk']).data
+
+    got = _sharded_call(eng_sh, mesh, fn, (np.asarray(ct3.data),),
+                        {'rlk': ctx.rlk, 'glk': ctx.glk.keys[elt]})
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(g.data))
+
+    # the BEHZ guard
+    def fn_mult(e, ds, ks):
+        ca = Ciphertext(data=ds[0], level=lvl, is_ntt=False)
+        cb = Ciphertext(data=ds[1], level=lvl, is_ntt=False)
+        return e.mult(jnp, ca, cb).data
+
+    with pytest.raises(Exception, match='BEHZ'):
+        _sharded_call(eng_sh, mesh, fn_mult,
+                      (np.asarray(a.data), np.asarray(b.data)), ctx.rlk)
