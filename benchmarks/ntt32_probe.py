@@ -90,6 +90,21 @@ def main():
     report(f'fwd({tag})', fwd, xd)
     report(f'inv({tag})', inv, y)
 
+    if os.environ.get('LATTISENSE_PROBE_INVMB', '1') not in ('', '0'):
+        # mul-before-sub GS inverse (latency-dependency bisect): in-process
+        # A/B vs the default sub-then-mul butterfly
+        invmb = {}
+        for tag, on in (('inv mul-after (dflt)', False),
+                        ('inv mul-before', True)):
+            k32._INV_MULBEFORE = on
+            invmb[tag] = jax.jit(lambda v, _r=R: k32.intt_fused32(v, ring, _r))
+            back = invmb[tag](y)
+            np.testing.assert_array_equal(np.asarray(back[:2]), x[:2])
+        k32._INV_MULBEFORE = False
+        for _ in range(2):
+            for tag, fn in invmb.items():
+                report(tag, fn, y)
+
     if os.environ.get('LATTISENSE_PROBE_R4', '1') not in ('', '0'):
         # radix-4 merged-stage kernels (VERDICT r3 item 3): interleaved
         # in-process A/B vs the radix-2 defaults

@@ -228,13 +228,13 @@ def _ksw_kernel(logn, L, T, alpha, beta, nfwd, ninv, out_ntt, plans,
     if fwd_plan is not None:
         def fwd_fn(v, tabs, q3):
             return _fwd_rows4(v, tabs, q3, n, sub, fwd_plan)
-
-        def inv_fn(v, tabs, q3, ni, ns):
-            return _inv_rows4(v, tabs, q3, ni, ns, n, sub, inv_plan)
     else:
         def fwd_fn(v, tabs, q3):
             return _fwd_rows(v, tabs, q3, n, sub)
-
+    if inv_plan is not None:
+        def inv_fn(v, tabs, q3, ni, ns):
+            return _inv_rows4(v, tabs, q3, ni, ns, n, sub, inv_plan)
+    else:
         def inv_fn(v, tabs, q3, ni, ns):
             return _inv_rows(v, tabs, q3, ni, ns, n, sub)
     x = x_ref[0]                                          # (L, n)
@@ -312,11 +312,21 @@ import os as _os
 # digit rows (already amortized), so the splat economics differ from the
 # standalone NTT kernels — A/B'd separately on chip.
 _KSW_SPLAT = _os.environ.get('LATTISENSE_KSW32_SPLAT', '0') not in ('', '0')
-# radix-4 merged passes inside the fused switch (follows the NTT32 gate
-# unless overridden; natural-phase tables are splat under radix-4)
-_KSW_R4 = _os.environ.get(
-    'LATTISENSE_KSW32_R4',
-    _os.environ.get('LATTISENSE_NTT32_R4', '0')) not in ('', '0')
+# radix-4 merged passes inside the fused switch, gated PER DIRECTION
+# (the chip A/B may favor merging only the inverse transforms; natural-
+# phase tables are splat under radix-4)
+_KSW_R4_FWD = _os.environ.get(
+    'LATTISENSE_KSW32_R4_FWD',
+    _os.environ.get('LATTISENSE_KSW32_R4',
+                    _os.environ.get('LATTISENSE_NTT32_R4', '0'))) \
+    not in ('', '0')
+_KSW_R4_INV = _os.environ.get(
+    'LATTISENSE_KSW32_R4_INV',
+    _os.environ.get('LATTISENSE_KSW32_R4',
+                    _os.environ.get('LATTISENSE_NTT32_R4_INV',
+                                    _os.environ.get('LATTISENSE_NTT32_R4',
+                                                    '0')))) \
+    not in ('', '0')
 
 
 def _expand(tbl, plan, logn, sub):
@@ -411,14 +421,17 @@ def _ksw_consts(key):
     ts = np.asarray(ring.psi_rev_shoup, dtype=np.uint32)
     ti = np.asarray(ring.psi_inv_rev, dtype=np.uint32)
     tis = np.asarray(ring.psi_inv_rev_shoup, dtype=np.uint32)
-    if _KSW_R4:
-        from .ntt_pallas32 import expand_fwd_tables4, expand_inv_tables4
+    from .ntt_pallas32 import expand_fwd_tables4, expand_inv_tables4
+    if _KSW_R4_FWD:
         fwd_plan, fwd = expand_fwd_tables4(tw, ts, logn)
-        inv_plan, inv = expand_inv_tables4(ti, tis, logn)
     else:
-        fwd_plan = inv_plan = None
+        fwd_plan = None
         fwd = list(zip(_expand(tw, _stage_plan(logn), logn, sub),
                        _expand(ts, _stage_plan(logn), logn, sub)))
+    if _KSW_R4_INV:
+        inv_plan, inv = expand_inv_tables4(ti, tis, logn)
+    else:
+        inv_plan = None
         inv = list(zip(_expand(ti, _inv_stage_plan(logn), logn, sub),
                        _expand(tis, _inv_stage_plan(logn), logn, sub)))
     return (logn, L, T, alpha, beta, dec, mc, qp_c, dq_c, dp_c, c2, fwd, inv,

@@ -155,6 +155,21 @@ def _fwd_kernel(logn, rows, perm_out, q_ref, x_ref, *refs):
     o_ref[...] = v.reshape(rows, n)
 
 
+def _gs_d(u, b, w, ws, q):
+    """The GS butterfly's twiddled difference d = w·(u−b).
+
+    Default: sub THEN mul — 1 multiply, but the multiply waits on the
+    subtract (a serial dependency absent from the CT forward, whose
+    multiply consumes a LOADED slice). LATTISENSE_NTT32_INVMB=1 computes
+    w·u − w·b instead: 2 multiplies on loaded/ready values that issue in
+    parallel — exact mod q (each Shoup product < q) — to test whether
+    the inverse kernel's 2x-over-forward cost is multiply LATENCY, not
+    throughput (VERDICT r3 item 3 bisect)."""
+    if _INV_MULBEFORE:
+        return _submod32(_shoup32(u, w, ws, q), _shoup32(b, w, ws, q), q)
+    return _shoup32(_submod32(u, b, q), w, ws, q)
+
+
 def _inv_kernel(logn, rows, perm_in, qn_ref, x_ref, *refs):
     """Plain GS inverse, bit-reversed input -> natural output, ASCENDING
     distances (the fold idiom removes the old ascending-sequence penalty),
@@ -180,13 +195,12 @@ def _inv_kernel(logn, rows, perm_in, qn_ref, x_ref, *refs):
         u = p[..., :tb * sub]
         b = p[..., tb * sub:]
         s = _addmod32(u, b, q)
-        dd = _submod32(u, b, q)
         if w.shape[-1] != tb * sub:      # compact (m, sub) table
-            dd = dd.reshape(rows, mb, tb, sub)
+            dd = _submod32(u, b, q).reshape(rows, mb, tb, sub)
             d = _shoup32(dd, w[:, :, None, :],
                          ws[:, :, None, :], q).reshape(rows, mb, tb * sub)
         else:
-            d = _shoup32(dd, w, ws, q)
+            d = _gs_d(u, b, w, ws, q)
         v = jnp.concatenate([s, d], axis=-1)
         si += 1
         tb *= 2
@@ -200,7 +214,7 @@ def _inv_kernel(logn, rows, perm_in, qn_ref, x_ref, *refs):
         u = p[..., :t]
         b = p[..., t:]
         s = _addmod32(u, b, q)
-        d = _shoup32(_submod32(u, b, q), w, ws, q)
+        d = _gs_d(u, b, w, ws, q)
         v = jnp.concatenate([s, d], axis=-1).reshape(rows, n)
         si += 1
         t *= 2
@@ -399,6 +413,8 @@ def _regroup(x, L, n, rows_per_block):
 import os as _os
 
 _SPLAT = _os.environ.get('LATTISENSE_NTT32_SPLAT', '1') not in ('', '0')
+_INV_MULBEFORE = _os.environ.get('LATTISENSE_NTT32_INVMB', '0') \
+    not in ('', '0')
 _SPLATB = _os.environ.get('LATTISENSE_NTT32_SPLATB', '0') not in ('', '0')
 
 
@@ -432,7 +448,8 @@ _VMAP_CACHE: dict = {}
 def _vmap_entry(ring, rows_per_block, impl, tag, perm=False):
     # jax.vmap would run the kernel per batch element (8x padding waste);
     # collapse the mapped axis into the kernels' native batch dim instead.
-    key = (tuple(ring.moduli), ring.n, rows_per_block, tag, perm)
+    key = (tuple(ring.moduli), ring.n, rows_per_block, tag, perm,
+           _INV_MULBEFORE)
     f = _VMAP_CACHE.get(key)
     if f is None:
         @jax.custom_batching.custom_vmap
