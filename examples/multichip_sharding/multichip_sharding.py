@@ -114,18 +114,20 @@ def main():
         make_coeff_sharded_engine)
     eng_sh = make_coeff_sharded_engine(ctx.engine, cmesh)
 
-    def body(d3, rlk, glk):
-        c3 = Ciphertext(data=d3, level=level, is_ntt=False)
-        c = eng_sh.relinearize(jnp, c3, rlk)
+    def body(da, db, rlk, glk):
+        ca = Ciphertext(data=da, level=level, is_ntt=False)
+        cb = Ciphertext(data=db, level=level, is_ntt=False)
+        c = eng_sh.relinearize(jnp, eng_sh.mult(jnp, ca, cb), rlk)
         return eng_sh.apply_galois(jnp, c, gal, glk).data
 
     sp3, sp4 = P(None, None, 'coeff'), P(None, None, None, 'coeff')
-    f_sh = jax.jit(jax.shard_map(body, mesh=cmesh, in_specs=(sp3, sp4, sp4),
+    f_sh = jax.jit(jax.shard_map(body, mesh=cmesh,
+                                 in_specs=(sp3, sp3, sp4, sp4),
                                  out_specs=sp3, check_vma=False))
-    got_eng = np.asarray(f_sh(np.asarray(ct3.data), ctx.rlk,
-                              ctx.glk.keys[gal]))
+    got_eng = np.asarray(f_sh(np.asarray(a.data), np.asarray(b.data),
+                              ctx.rlk, ctx.glk.keys[gal]))
     assert np.array_equal(got_eng, got_rot)
-    print('sharded engine: engine.relinearize + apply_galois inside '
+    print('sharded engine: BEHZ mult + relinearize + rotation inside '
           'shard_map (coeff axis) — bit-exact')
     print('OK')
 

@@ -153,20 +153,30 @@ def _make_subclass(cls):
         def sub(self, xp, a, b):
             return super().sub(xp, a, self._cs_pt(xp, b))
 
+        def behz(self, level: int):
+            """BehzMult view with coeff-sharded dual-basis rings: every
+            BEHZ stage except the NTTs is pointwise per coefficient
+            (FastBConv/SmMRq/tensor/Shenoy), so swapping ring_q/ring_aux
+            for dist views makes the WHOLE BFV ct x ct multiply run
+            coeff-sharded (bfv.py's Pallas megakernel dispatch is gated
+            off when the ring carries ``dist``)."""
+            v = self._cs_behz.get(level)
+            if v is None:
+                from .coeff_sharded import DistNtt
+                base = self._cs_base.behz(level)
+                v = copy.copy(base)
+                v.ring_q = _DistRingView(
+                    base.ring_q,
+                    DistNtt(base.ring_q.moduli, self.n, self._cs_mesh,
+                            self._cs_axis, self.word_bits))
+                v.ring_aux = _DistRingView(
+                    base.ring_aux,
+                    DistNtt(base.ring_aux.moduli, self.n, self._cs_mesh,
+                            self._cs_axis, self.word_bits))
+                self._cs_behz[level] = v
+            return v
+
         def mult(self, xp, a, b):
-            if (xp is not np and isinstance(b, Ciphertext)
-                    and hasattr(self, 'behz')):
-                # The BFV BEHZ tensor product runs over its own dual-basis
-                # rings (ring_q/ring_aux inside BehzMult), which do not go
-                # through the ring(level) seam — a coeff-sharded BEHZ needs
-                # its own distributed basis-conversion bodies. Refuse
-                # loudly instead of transforming local shards with full-n
-                # twiddles (silent corruption).
-                raise NotImplementedError(
-                    'BFV ct x ct mult (BEHZ) is not coeff-sharded yet; '
-                    'compute the tensor product unsharded and shard the '
-                    'relinearization/rotations, or use the CKKS engine '
-                    '(pointwise NTT-domain mult, fully supported)')
             return super().mult(xp, a, self._cs_pt(xp, b))
 
         # -- Galois: all_gather + static local take ------------------------
@@ -195,7 +205,7 @@ def _make_subclass(cls):
                                                   **kw)
             level = ct.level
             ring = self.ring(level)
-            if not hasattr(self, 'behz'):               # CKKS: NTT domain
+            if not hasattr(self._cs_base, 'behz'):    # CKKS: NTT domain
                 c0 = self._cs_auto_ntt(ct.data[0], galois_elt)
                 c1 = self._cs_auto_ntt(ct.data[1], galois_elt)
                 e0, e1 = self.switcher.switch(
@@ -233,7 +243,7 @@ def _make_subclass(cls):
                     xp, dct, galois_elt, glk, **kw)
             level = dct.level
             ring = self.ring(level)
-            if not hasattr(self, 'behz'):               # CKKS
+            if not hasattr(self._cs_base, 'behz'):    # CKKS
                 c0 = self._cs_auto_ntt(dct.c0, galois_elt)
                 digits = self._cs_auto_ntt(dct.digits, galois_elt)
                 e0, e1 = self.switcher.switch_from_digits(
@@ -285,6 +295,7 @@ def make_coeff_sharded_engine(engine, mesh, axis: str = 'coeff'):
     obj._cs_D = D
     obj._cs_C = engine.n // D
     obj._cs_rings = {}
+    obj._cs_behz = {}
     obj.switcher = _ShardedSwitcher(engine.switcher, mesh, axis)
     return obj
 

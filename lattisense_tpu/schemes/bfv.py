@@ -337,7 +337,8 @@ class BfvEngine:
             ra = bz.ring_aux
             # batch all four polys through extend/NTT: one (4, L, n) pass
             polys = xp.concatenate([a.data[:2], b.data[:2]], axis=0)
-            if ntt_mod._pallas32_ok(xp, self.n, polys.dtype):
+            if (ntt_mod._pallas32_ok(xp, self.n, polys.dtype)
+                    and getattr(ring, 'dist', None) is None):
                 # K1 megakernel: extend + dual NTT + to-Montgomery fused
                 # per poly with zero mid-phase HBM traffic
                 from ..ops.behz_pallas32 import behz_prep32
@@ -361,6 +362,7 @@ class BfvEngine:
             # mont_mul removed one → strip the remaining R.
             import os as _os
             if (ntt_mod._pallas32_ok(xp, self.n, dq.dtype)
+                    and getattr(ring, 'dist', None) is None
                     and _os.environ.get('LATTISENSE_BEHZ_K3', '0') not in ('', '0')):
                 # K3 megakernel — isolated 652 us/op beats isolated XLA
                 # (726) but LOSES to the in-graph fused XLA finish (~464:

@@ -195,10 +195,11 @@ def test_coeff_sharded_bootstrap_toy():
 
 
 def test_sharded_engine_bfv_relin_rotate():
-    """BFV coeff-domain engine surface under coeff sharding: relinearize
-    + apply_galois (signed coeff-domain automorphism + coeff-sharded
-    switch) bit-exact; BFV ct x ct mult (BEHZ over its own dual-basis
-    rings) must refuse loudly instead of corrupting."""
+    """BFV coeff-domain engine surface under coeff sharding: the WHOLE
+    mult_relin + rotate pipeline — BEHZ ct x ct mult (dist dual-basis
+    rings; every non-NTT stage is pointwise per coefficient),
+    relinearize, and apply_galois (signed coeff-domain automorphism +
+    coeff-sharded switch) — bit-exact vs single-device."""
     from lattisense_tpu.core.modring import gen_ntt_primes
     from lattisense_tpu.params import BfvParams
     from lattisense_tpu.runtime import BfvContext
@@ -232,12 +233,14 @@ def test_sharded_engine_bfv_relin_rotate():
                         {'rlk': ctx.rlk, 'glk': ctx.glk.keys[elt]})
     np.testing.assert_array_equal(np.asarray(got), np.asarray(g.data))
 
-    # the BEHZ guard
+    # BEHZ ct x ct mult coeff-sharded (dist dual-basis rings)
     def fn_mult(e, ds, ks):
         ca = Ciphertext(data=ds[0], level=lvl, is_ntt=False)
         cb = Ciphertext(data=ds[1], level=lvl, is_ntt=False)
-        return e.mult(jnp, ca, cb).data
+        c = e.relinearize(jnp, e.mult(jnp, ca, cb), ks['rlk'])
+        return e.apply_galois(jnp, c, elt, ks['glk']).data
 
-    with pytest.raises(Exception, match='BEHZ'):
-        _sharded_call(eng_sh, mesh, fn_mult,
-                      (np.asarray(a.data), np.asarray(b.data)), ctx.rlk)
+    got2 = _sharded_call(eng_sh, mesh, fn_mult,
+                         (np.asarray(a.data), np.asarray(b.data)),
+                         {'rlk': ctx.rlk, 'glk': ctx.glk.keys[elt]})
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(g.data))
