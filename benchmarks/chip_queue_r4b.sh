@@ -34,6 +34,11 @@ while true; do
   sleep 540
 done
 
+note "bootstrap_chip toy (encode_const fix) start"
+timeout -k 30 10800 python benchmarks/bootstrap_chip.py toy --segtable \
+  > "$LOG/btp_toy2.log" 2> "$LOG/btp_toy2.err"
+note "bootstrap_chip toy exit $?"
+
 note "invmb_ab_probe start"
 LATTISENSE_PROBE_ITERS=64 timeout -k 30 5400 python benchmarks/invmb_ab_probe.py \
   > "$LOG/invmb.log" 2> "$LOG/invmb.err"

@@ -271,7 +271,11 @@ class CkksBootstrapper:
         eng = self.engine
         target = target_scale or ct.scale
         pt_scale = target * self._qstep(ct.level) / ct.scale
-        pt = eng.encode(np.full(eng.params.slots, value), ct.level, pt_scale)
+        if complex(value).imag == 0.0:
+            pt = eng.encode_const(complex(value).real, ct.level, pt_scale, xp)
+        else:
+            pt = eng.encode(np.full(eng.params.slots, value), ct.level,
+                            pt_scale)
         out = self._rescale_n(xp, eng.mult(xp, ct, pt))
         out.scale = target
         return out
@@ -285,7 +289,7 @@ class CkksBootstrapper:
         sq = self._rescale_n(xp, eng.relinearize(xp, eng.mult(xp, ct, ct),
                                                  rlk))
         two = eng.add(xp, sq, sq)
-        pt = eng.encode(np.full(eng.params.slots, -1.0), two.level, two.scale)
+        pt = eng.encode_const(-1.0, two.level, two.scale, xp)
         return eng.add(xp, two, pt)
 
     def _arcsine(self, xp, ct, rlk):
@@ -408,27 +412,44 @@ class CkksBootstrapper:
         # the dominant segment-compile cost (vmap adds a batch dim, not
         # ops) and batches the chip work. The host (np) path loops — the
         # math is identical either way, so eager vs jit stays bit-exact.
-        def s_em(xp, cts, rlk, glk_map):
-            def one(data):
-                c = Ciphertext(data=data, level=cts[0].level,
-                               is_ntt=cts[0].is_ntt, scale=cts[0].scale)
-                c = self.evalmod(xp, c, rlk, anchor=self.em_scale)
-                for _ in range(self.cfg.double_angle):
-                    c = self._double_angle(xp, c, rlk)
-                if self.cfg.arcsine:
-                    c = self._arcsine(xp, c, rlk)
-                one.meta = (c.level, c.is_ntt, c.scale)
-                return c.data
-            if xp is np:
-                d0, d1 = one(cts[0].data), one(cts[1].data)
-            else:
-                import jax
-                out = jax.vmap(one)(xp.stack([cts[0].data, cts[1].data]))
-                d0, d1 = out[0], out[1]
-            lv, ntt, sc = one.meta
-            return (Ciphertext(data=d0, level=lv, is_ntt=ntt, scale=sc),
-                    Ciphertext(data=d1, level=lv, is_ntt=ntt, scale=sc))
-        segs.append(('evalmod', s_em))
+        # EvalMod is further cut into cheb / double-angle / arcsine
+        # sub-segments: each segment's program carries per-level NTT
+        # twiddle constants for every level it touches, and the fused
+        # EvalMod's span exceeded the remote compiler's request-body
+        # limit (HTTP 413) at the n=8192 toy profile even with scalar
+        # plaintext constants (L, 1)-compressed (encode_const).
+        def _em_pair(stage_fn):
+            def seg(xp, cts, rlk, glk_map):
+                def one(data):
+                    c = Ciphertext(data=data, level=cts[0].level,
+                                   is_ntt=cts[0].is_ntt, scale=cts[0].scale)
+                    c = stage_fn(xp, c, rlk)
+                    one.meta = (c.level, c.is_ntt, c.scale)
+                    return c.data
+                if xp is np:
+                    d0, d1 = one(cts[0].data), one(cts[1].data)
+                else:
+                    import jax
+                    out = jax.vmap(one)(xp.stack([cts[0].data, cts[1].data]))
+                    d0, d1 = out[0], out[1]
+                lv, ntt, sc = one.meta
+                return (Ciphertext(data=d0, level=lv, is_ntt=ntt, scale=sc),
+                        Ciphertext(data=d1, level=lv, is_ntt=ntt, scale=sc))
+            return seg
+
+        def st_cheb(xp, c, rlk):
+            return self.evalmod(xp, c, rlk, anchor=self.em_scale)
+
+        def st_da(xp, c, rlk):
+            for _ in range(self.cfg.double_angle):
+                c = self._double_angle(xp, c, rlk)
+            return c
+
+        segs.append(('evalmod', _em_pair(st_cheb)))
+        if self.cfg.double_angle:
+            segs.append(('evalmod_da', _em_pair(st_da)))
+        if self.cfg.arcsine:
+            segs.append(('evalmod_asin', _em_pair(self._arcsine)))
 
         def s_merge(xp, cts, rlk, glk_map):
             g0, g1 = cts

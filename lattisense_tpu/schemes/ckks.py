@@ -53,6 +53,28 @@ class CkksEngine:
         return Plaintext(data=ntt_mod.ntt(np, data, ring), level=level,
                          is_ntt=True, scale=scale)
 
+    def encode_const(self, value: float, level: int,
+                     scale: float | None = None, xp=np) -> Plaintext:
+        """Exact scalar-constant plaintext, (L, 1)-compressed.
+
+        A constant slot vector encodes to the constant polynomial
+        round(v·Δ)·X⁰, whose NTT is the constant itself — one residue per
+        limb. Shipping that as an (L, 1) column broadcast in-graph (pass
+        ``xp=jnp`` inside a trace) keeps scalar constants out of the
+        serialized HLO: a deg-39 EvalMod program carries ~45 of them, and
+        at full (L, n) size they alone exceeded the remote compiler's
+        request-body limit (HTTP 413) at the n=8192 toy bootstrap.
+        Also exact: no embedding-FFT rounding noise (which reaches
+        O(ε·Δ) ≈ ±100 absolute at Δ=2⁶⁰), so it strictly dominates
+        ``encode(np.full(slots, v))`` for scalars. Valid for any slot
+        packing (a constant is constant in every packing)."""
+        scale = scale or self.params.scale
+        c0 = int(round(float(value) * scale))
+        col = np.array([c0 % qi for qi in self.q[:level + 1]], dtype=self.wdt)
+        data = xp.broadcast_to(xp.asarray(col)[:, None],
+                               (level + 1, self.n))
+        return Plaintext(data=data, level=level, is_ntt=True, scale=scale)
+
     def encode_ringt(self, values, scale: float | None = None) -> PlaintextRingt:
         """Single-component plaintext: small signed integer coeffs, lifted to
         the chain at multiplication time."""

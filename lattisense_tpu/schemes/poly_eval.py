@@ -129,7 +129,7 @@ class ChebyshevEvaluator:
         if ct.level > level + self.step:
             ct = eng.drop_level(xp, ct, ct.level - level - self.step)
         pt_scale = self._sigma[level] * self._qstep(ct.level) / ct.scale
-        pt = eng.encode(np.full(eng.params.slots, 1.0), ct.level, pt_scale)
+        pt = eng.encode_const(1.0, ct.level, pt_scale, xp)
         out = self._rescale(xp, eng.mult(xp, ct, pt))
         out.scale = self._sigma[level]
         return out
@@ -144,7 +144,7 @@ class ChebyshevEvaluator:
 
     def _add_const(self, xp, ct, value: float):
         eng = self.engine
-        pt = eng.encode(np.full(eng.params.slots, value), ct.level, ct.scale)
+        pt = eng.encode_const(value, ct.level, ct.scale, xp)
         return eng.add(xp, ct, pt)
 
     def _mul_const(self, xp, ct, value: float, rescale=True):
@@ -152,7 +152,7 @@ class ChebyshevEvaluator:
         eng = self.engine
         pt_scale = (self._sigma[ct.level - self.step]
                     * self._qstep(ct.level) / ct.scale)
-        pt = eng.encode(np.full(eng.params.slots, value), ct.level, pt_scale)
+        pt = eng.encode_const(value, ct.level, pt_scale, xp)
         out = eng.mult(xp, ct, pt)
         if not rescale:
             return out
@@ -234,7 +234,7 @@ class ChebyshevEvaluator:
             eng = self.engine
             pt_scale = (self._sigma[ct.level - self.step]
                         * self._qstep(ct.level) / ct.scale)
-            pt = eng.encode(np.full(eng.params.slots, 1.0), ct.level, pt_scale)
+            pt = eng.encode_const(1.0, ct.level, pt_scale, xp)
             ct = self._rescale(xp, eng.mult(xp, ct, pt))
             ct.scale = self._sigma[ct.level]
         T = self._basis(xp, ct, rlk)
