@@ -68,3 +68,39 @@ def test_relu_and_step(ctx):
     got = ctx.decrypt_decode(poly_eval_step(ctx.engine, np, ct, ctx.rlk)).real
     far = np.abs(v) > 0.25
     assert np.max(np.abs(got[far] - (v[far] > 0))) < 0.1
+
+
+def test_encode_const_matches_full_encode(ctx):
+    """encode_const (exact (L,1)-compressed scalar plaintext) must act on a
+    ciphertext like the embedding-FFT full encode of the same constant —
+    equal slots up to the FFT path's own rounding noise — in both the host
+    (np) and traced (jnp, broadcast in-graph) forms. The compressed form is
+    what keeps EvalMod's ~45 scalar constants out of the serialized HLO
+    (remote-compiler 413 limit; schemes/ckks.py encode_const)."""
+    import jax
+    import jax.numpy as jnp
+    eng = ctx.engine
+    rng = np.random.default_rng(9)
+    level = ctx.params.max_level
+    v = rng.uniform(-1, 1, ctx.params.slots)
+    ct = ctx.encrypt(ctx.encode(v, level))
+    for c in (0.5, -3.25, 1.0):
+        pt_full = eng.encode(np.full(ctx.params.slots, c), level)
+        pt_col = eng.encode_const(c, level)
+        assert pt_col.data.shape == pt_full.data.shape
+        # constant NTT: every limb row is one repeated residue
+        assert np.all(pt_col.data == pt_col.data[:, :1])
+        got_full = ctx.decrypt_decode(eng.add(np, ct, pt_full)).real
+        got_col = ctx.decrypt_decode(eng.add(np, ct, pt_col)).real
+        np.testing.assert_allclose(got_col, got_full, atol=1e-9)
+        np.testing.assert_allclose(got_col, v + c, atol=1e-9)
+
+        def body(data):
+            cc = type(ct)(data=data, level=level, is_ntt=True,
+                          scale=ct.scale)
+            return eng.mult(jnp, cc,
+                            eng.encode_const(c, level, None, jnp)).data
+
+        got_jit = np.asarray(jax.jit(body)(np.asarray(ct.data)))
+        want = eng.mult(np, ct, eng.encode_const(c, level))
+        assert np.array_equal(got_jit, np.asarray(want.data))
