@@ -84,6 +84,17 @@ BATCH = 0
 if '--batch' in sys.argv:
     BATCH = int(sys.argv[sys.argv.index('--batch') + 1])
 
+# Const lifting (utils/jit_lift.py): the full profile's segment HLO
+# embeds hundreds of MB of DFT-diagonal + twiddle constants and cannot
+# even be SUBMITTED to the remote compiler (HTTP 413); lifting turns
+# them into runtime argument buffers. Default ON for 'full', gate
+# LATTISENSE_JIT_LIFT overrides either way.
+LIFT = os.environ.get('LATTISENSE_JIT_LIFT', '1' if mode == 'full' else '0') \
+    not in ('', '0')
+if LIFT:
+    from lattisense_tpu.utils.jit_lift import jit_lifted
+    print('jit const-lifting ON', flush=True)
+
 jits = []
 for (name, fn), meta in zip(segs, metas):
     def make(fn, meta):
@@ -92,7 +103,8 @@ for (name, fn), meta in zip(segs, metas):
                         for d, m in zip(datas, meta))
             out = fn(jnp, cts, rlk_d, glk_d)
             return tuple(c.data for c in out)
-        return jax.jit(jax.vmap(g) if BATCH else g)
+        body = jax.vmap(g) if BATCH else g
+        return jit_lifted(body) if LIFT else jax.jit(body)
     jits.append((name, make(fn, meta)))
 
 # compile + first run, segment by segment
