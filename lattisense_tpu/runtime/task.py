@@ -596,7 +596,19 @@ class FheTaskTpu:
                 g = make(si, metas)
                 jax.eval_shape(g, tuple(jax.ShapeDtypeStruct(d.shape, d.dtype)
                                         for d in datas), sds)
-                hit = (jax.jit(g), g.out_meta)
+                # const lifting (utils/jit_lift.py): full-size segment HLO
+                # embeds 100s of MB of DFT-diagonal/twiddle constants and
+                # exceeds the remote compiler's request limit (HTTP 413);
+                # defaults ON at n >= 32768, LATTISENSE_JIT_LIFT overrides
+                import os as _os
+                lift = _os.environ.get(
+                    'LATTISENSE_JIT_LIFT',
+                    '1' if eng.params.n >= 32768 else '0') not in ('', '0')
+                if lift:
+                    from ..utils.jit_lift import jit_lifted
+                    hit = (jit_lifted(g), g.out_meta)
+                else:
+                    hit = (jax.jit(g), g.out_meta)
                 self._jitted[cache_key] = hit
             fn, metas = hit
             datas = fn(datas, key_tree)

@@ -92,6 +92,18 @@ def test_bootstrap_task_graph(btp_ctx, tmp_path):
     np.testing.assert_array_equal(np.asarray(outp['z'].data),
                                   np.asarray(outputs['z'].data))
 
+    # const-lifted segment jit (utils/jit_lift.py — the full-size 413
+    # path, auto-on at n>=32768) must be bit-identical to plain jit
+    import os
+    os.environ['LATTISENSE_JIT_LIFT'] = '1'
+    try:
+        taskl = FheTaskTpu(str(tmp_path), mode='partitioned')
+        outl, _ = taskl.run(ctx, {'x': ct})
+    finally:
+        del os.environ['LATTISENSE_JIT_LIFT']
+    np.testing.assert_array_equal(np.asarray(outl['z'].data),
+                                  np.asarray(outputs['z'].data))
+
 
 def test_bootstrap_sparse_slots():
     """Sparse packing (slots < n/2): SubSum projection + size-s transforms
