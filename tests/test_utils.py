@@ -177,3 +177,36 @@ def test_eval_op_error_paths():
     y = cctx.encrypt(cctx.encode(np.ones(n // 2), 2, scale=float(1 << 41)))
     with pytest.raises(ValueError, match='scale mismatch'):
         cctx.add(x, y)
+
+
+def test_jit_lifted_equivalence_and_cache():
+    """utils.jit_lift.jit_lifted: bit-identical to jax.jit with closure
+    constants turned into runtime arguments (the remote-compiler 413
+    fix); re-calls at the same shapes hit the jaxpr cache, new shapes
+    retrace."""
+    import jax
+    import jax.numpy as jnp
+
+    from lattisense_tpu.utils.jit_lift import jit_lifted
+
+    big = np.arange(1 << 12, dtype=np.uint64).reshape(64, 64)
+    calls = {'n': 0}
+
+    def g(x, y):
+        calls['n'] += 1
+        tab = jnp.asarray(big)[:x.shape[0]]
+        return {'a': x * tab + y['b'], 'n': (x - y['b'],)}
+
+    f = jit_lifted(g)
+    x = np.full((64, 64), 3, np.uint64)
+    y = {'b': np.full((64, 64), 5, np.uint64)}
+    got = f(x, y)
+    want = jax.jit(g)(x, y)
+    np.testing.assert_array_equal(np.asarray(got['a']), np.asarray(want['a']))
+    np.testing.assert_array_equal(np.asarray(got['n'][0]),
+                                  np.asarray(want['n'][0]))
+    traced = calls['n']
+    f(x, y)                                 # same shapes: cached jaxpr
+    assert calls['n'] == traced
+    f(x[:32, :], {'b': y['b'][:32, :]})     # new shapes: retrace
+    assert calls['n'] == traced + 1
