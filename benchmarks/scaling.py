@@ -279,6 +279,60 @@ def main():
             'value': round(ms, 3), 'unit': 'ms/op',
             'vs_baseline': round(base_ms / ms, 3)}) + starve, flush=True)
 
+    # ---- coeff-sharded FULL BFV mult_relin (BEHZ under shard_map) -------
+    # Round-4 capability: the whole BFV pipeline spans the coeff axis
+    # (dist dual-basis rings — every BEHZ stage but its NTTs is pointwise
+    # per coefficient). Latency row like the relin one above.
+    base_mr = None
+    for D in (1, 2, 4, 8):
+        if D > n_dev or (D > 1 and n % (D * D)):
+            continue
+        if D == 1:
+            fmr1 = jax.jit(lambda da, db: eng.relinearize(
+                jnp, eng.mult(jnp,
+                              Ciphertext(data=da, level=level, is_ntt=True,
+                                         scale=1.0),
+                              Ciphertext(data=db, level=level, is_ntt=True,
+                                         scale=1.0)), ctx_tp.rlk).data)
+            fn_m, args_m = fmr1, (jnp.asarray(c0t.data), jnp.asarray(c1t.data))
+        else:
+            cmesh = Mesh(np.array(jax.devices()[:D]), ('coeff',))
+            eng_shm = make_coeff_sharded_engine(eng, cmesh)
+
+            def body_m(da, db, rlk):
+                ca = Ciphertext(data=da, level=level, is_ntt=True, scale=1.0)
+                cb = Ciphertext(data=db, level=level, is_ntt=True, scale=1.0)
+                return eng_shm.relinearize(jnp, eng_shm.mult(jnp, ca, cb),
+                                           rlk).data
+
+            spc = PartitionSpec(None, None, 'coeff')
+            spk = PartitionSpec(None, None, None, 'coeff')
+            fDm = jax.jit(jax.shard_map(body_m, mesh=cmesh,
+                                        in_specs=(spc, spc, spk),
+                                        out_specs=spc, check_vma=False))
+            fn_m, args_m = fDm, (jnp.asarray(c0t.data), jnp.asarray(c1t.data),
+                                 ctx_tp.rlk)
+        np.asarray(fn_m(*args_m)).ravel()[:2]
+
+        def run_m(k):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(k):
+                o = fn_m(*args_m)
+            np.asarray(o).ravel()[:2]
+            return time.perf_counter() - t0
+
+        run_m(2)
+        t1, t2 = run_m(8), run_m(16)
+        ms = (t2 - t1) / 8 * 1e3
+        if base_mr is None:
+            base_mr = ms
+        starve = ' (core-starved)' if D > cores else ''
+        print(json.dumps({
+            'metric': f'coeff_sharded_mult_relin_{D}dev_ms_per_op',
+            'value': round(ms, 3), 'unit': 'ms/op',
+            'vs_baseline': round(base_mr / ms, 3)}) + starve, flush=True)
+
     # ---- 2-D limb×coeff key-switch latency ------------------------------
     from lattisense_tpu.parallel.coeff_sharded import LimbCoeffKeySwitcher
     x1 = np.asarray(ct3.data[2]) if ct3.data.shape[0] > 2 \
