@@ -11,8 +11,12 @@ LOG=/tmp/chipq
 mkdir -p "$LOG"
 note() { echo "$(date -u '+%m-%d %H:%M:%S') $*" >> "$LOG/queue.log"; }
 
-note "r4c queue armed (pid $$), waiting for 'btp full2 exit'"
-while ! grep -q "btp full2 exit" "$LOG/queue.log" 2>/dev/null; do
+# NOTE the waiting message must NOT contain the gate marker: an earlier
+# revision logged "waiting for '<marker>'" and the gate grep matched its
+# own note immediately — two tunnel clients, and the weaker one died
+# RESOURCE_EXHAUSTED (tunnel-discipline notes).
+note "r4c queue armed (pid $$), waiting for the full-profile run"
+while ! grep -q "MARKER-BTPFULL2-EXIT" "$LOG/queue.log" 2>/dev/null; do
   sleep 180
 done
 sleep 60
