@@ -60,6 +60,21 @@ class FheContext:
         CreateEmpty*Context)."""
         return cls(params)
 
+    def gen_rotation_keys(self, level=None):
+        """The reference's standard key set (gen_rotation_keys,
+        fhe_lib_v2.h): every ±2^i column-rotation key plus the row key —
+        enough for any NAF-composite `rotate_cols` step and `rotate_rows`.
+        `level` is accepted for signature parity (keys here serve every
+        level)."""
+        n = self.params.n
+        steps = []
+        i = 1
+        while i < n // 2:
+            steps += [i, -i]
+            i *= 2
+        self.gen_rotation_keys_for_rotations(steps, swap_rows=True,
+                                             level=level)
+
     def gen_rotation_keys_for_rotations(self, rotations, swap_rows=False, level=None):
         """Galois keys for the NAF power-of-two sub-rotations of each step
         (reference: GenBfvContextRotationKeysForRotations; decomposition

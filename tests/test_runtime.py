@@ -550,3 +550,28 @@ def test_w32_task_adopts_context_word(tmp_path, mode):
     assert np.asarray(out['z'].data).dtype == np.uint32
     np.testing.assert_array_equal(
         ctx.decrypt_decode(out['z']), oracles.vec_mod_mul(a, b, t))
+
+
+def test_gen_rotation_keys_standard_set():
+    """ctx.gen_rotation_keys() (reference standard key set: every ±2^i
+    column key + the row key) serves arbitrary NAF-composite rotate_cols
+    steps and rotate_rows without per-step keygen."""
+    import numpy as np
+    from lattisense_tpu.core.modring import gen_ntt_primes
+    from lattisense_tpu.params import BfvParams
+    from lattisense_tpu.runtime import BfvContext
+    n = 64
+    q = gen_ntt_primes(n, 50, 3)
+    p = gen_ntt_primes(n, 51, 1, exclude=tuple(q))
+    ctx = BfvContext.create_random_context(
+        BfvParams.create_custom(n, 65537, q, p), seed=3)
+    ctx.gen_rotation_keys()
+    m = np.arange(n, dtype=np.uint64) % 65537
+    ct = ctx.encrypt(ctx.encode(m, 2))
+    half = n // 2
+    for s in (1, 5, 13, -7):
+        got = ctx.decrypt_decode(ctx.rotate_cols(ct, s))
+        want = np.concatenate([np.roll(m[:half], -s), np.roll(m[half:], -s)])
+        assert np.array_equal(got, want), s
+    got = ctx.decrypt_decode(ctx.rotate_rows(ct))
+    assert np.array_equal(got, np.concatenate([m[half:], m[:half]]))
