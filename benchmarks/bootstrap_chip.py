@@ -64,15 +64,99 @@ msg = rng.uniform(-1, 1, p_.slots)
 ct0 = ctx.encrypt(ctx.encode(msg, 0))
 segs = bs.segments(ct0.scale, ctx.swk.get('swk_dts'), ctx.swk.get('swk_std'))
 
-# host walk to capture per-segment input metadata (level/scale/is_ntt)
+# host walk to capture per-segment input metadata (level/scale/is_ntt),
+# per-segment boundary VALUES (for the isolated mode's independent
+# segment drives) and the Galois elements each segment touches (for
+# per-segment key staging).
+class _RecGlk:
+    """glk dict view recording which elements a segment accesses."""
+    def __init__(self, base):
+        self.base = base
+        self.used = set()
+
+    def __getitem__(self, k):
+        self.used.add(k)
+        return self.base[k]
+
+    def get(self, k, d=None):
+        self.used.add(k)
+        return self.base.get(k, d)
+
+
 metas = []
+boundaries = []
+seg_elems = []
 cts = (Ciphertext(data=np.asarray(ct0.data), level=0, is_ntt=True, scale=ct0.scale),)
 for name, fn in segs:
     metas.append([(c.level, c.is_ntt, c.scale) for c in cts])
-    cts = fn(np, cts, ctx.rlk, ctx.glk.keys)
+    boundaries.append(tuple(np.asarray(c.data) for c in cts))
+    rec = _RecGlk(ctx.glk.keys)
+    cts = fn(np, cts, ctx.rlk, rec)
+    seg_elems.append(sorted(rec.used))
+boundaries.append(tuple(np.asarray(c.data) for c in cts))
 host_out = cts[0]
 host_err = np.max(np.abs(ctx.decrypt_decode(host_out).real - msg))
 print(f'host path err {host_err:.2e}', flush=True)
+
+# ---- isolated per-segment mode (--isolated; the full n=2^16 profile) ----
+# The full profile's RESIDENT working set exceeds one chip's HBM: ~60
+# rotation keys x 157 MB/KSK (2*beta*(L+k)*n u64) = 6-12 GB of Galois
+# keys alone, plus GB-scale encoded DFT diagonals — all segments resident
+# together OOM a single v5e (measured 2026-08-20: ResourceExhausted at
+# cts1 with zero contention). Isolated mode measures each segment ALONE:
+# stage exactly that segment's keys + lifted constants, drive it on the
+# host walk's boundary values, slope-time it, assert the device output is
+# BIT-IDENTICAL to the host walk's next boundary, then free everything.
+# The pipeline number is the sum of segment times (inter-segment key
+# re-staging excluded — on real deployments the fix is key/working-set
+# sharding over a mesh: parallel/sharded_engine.CoeffShardedBootstrap).
+if '--isolated' in sys.argv:
+    import gc
+    from lattisense_tpu.utils.jit_lift import jit_lifted
+
+    iso_ms = []
+    reps = int(os.environ.get('LATTISENSE_BTP_ISO_REPS', '3'))
+    for si, ((name, fn), meta) in enumerate(zip(segs, metas)):
+        t0 = time.time()
+        rlk_d = jax.device_put(ctx.rlk)
+        glk_seg = {e: jax.device_put(ctx.glk.keys[e])
+                   for e in seg_elems[si]}
+
+        def g(*datas, fn=fn, meta=meta):
+            cc = tuple(Ciphertext(data=d, level=m[0], is_ntt=m[1],
+                                  scale=m[2])
+                       for d, m in zip(datas, meta))
+            return tuple(c.data for c in fn(jnp, cc, rlk_d, glk_seg))
+
+        jitted = jit_lifted(g)
+        ins = tuple(jax.device_put(b) for b in boundaries[si])
+        outs = jitted(*ins)
+        np.asarray(outs[0].ravel()[:2])
+        t_compile = time.time() - t0
+        for got, want in zip(outs, boundaries[si + 1]):
+            assert np.array_equal(np.asarray(got), want), \
+                f'{name}: device != host walk'
+
+        def run(k):
+            t0 = time.perf_counter()
+            o = None
+            for _ in range(k):
+                o = jitted(*ins)
+            np.asarray(o[0].ravel()[:2])
+            return time.perf_counter() - t0
+
+        run(1)
+        t1, t2 = run(reps), run(2 * reps)
+        ms = (t2 - t1) / reps * 1e3
+        iso_ms.append((name, ms))
+        print(f'  {name:12s} {ms:8.1f} ms   (keys {len(glk_seg)}, '
+              f'compile+check {t_compile:.0f}s)', flush=True)
+        del jitted, ins, outs, glk_seg, rlk_d
+        gc.collect()
+    total = sum(m for _, m in iso_ms)
+    print(f'bootstrap on chip ({mode}, isolated-sum): {total:.1f} ms/op '
+          f'(bit-exact vs host per segment)', flush=True)
+    sys.exit(0)
 
 rlk_d = jax.device_put(ctx.rlk)
 glk_d = jax.device_put(ctx.glk.keys)
