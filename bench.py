@@ -42,6 +42,19 @@ _BUDGET_S = float(os.environ.get('LATTISENSE_BENCH_BUDGET', '660'))
 _HEADLINE = {'line': None}
 
 
+def _logq_l3():
+    """logQ of the u64 L3 chain, straight from the parameter table (no
+    jax import) — keeps the skip-marker metric name in lockstep with the
+    measured headline's if the chain ever changes (advisor r4)."""
+    try:
+        tbl = json.load(open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            'lattisense_tpu', 'parameter.json')))
+        return sum(int(q).bit_length() for q in tbl['BFV']['16384']['q'][:4])
+    except Exception:  # noqa: BLE001 — marker must never fail to emit
+        return 223
+
+
 def _headline_or_skip_line():
     """The line the driver's last-JSON-line parse must land on: the
     measured headline, or an explicit zero-valued skip marker when the
@@ -49,7 +62,7 @@ def _headline_or_skip_line():
     host-baseline line masquerading as the round headline."""
     if _HEADLINE['line'] is None:
         _HEADLINE['line'] = json.dumps({
-            'metric': 'bfv_mult_relin_n16384_logQ223_w32_ops_per_s_per_chip',
+            'metric': f'bfv_mult_relin_n16384_logQ{_logq_l3()}_w32_ops_per_s_per_chip',
             'value': 0.0,
             'unit': 'ops/s (device scenario skipped: budget/tunnel)',
             'vs_baseline': 0.0})
@@ -233,6 +246,46 @@ def main():
     b32 = jax.device_put(np.stack([c.data for c in c32[batch:]]))
     k32 = jax.device_put(key_tree(bctx32))
 
+    # ---- drift probe (pinned kernel, VERDICT r4 item 2) ---------------------
+    # A fixed tiny program measured before the headline and again at the
+    # very end: cross-round headline comparisons divide out chip/tunnel
+    # drift with this anchor. PINNED — never change shapes/constants.
+    def _drift_probe(tag):
+        @_scenario(f'device: drift probe ({tag})')
+        def probe():
+            from lattisense_tpu.core import u64 as _u
+            K, R, N = 16, 256, 16384
+            p = jnp.uint32(2130706433)                    # 127*2^24+1
+            w = jnp.uint32(3)
+            ws = jnp.uint32((3 << 32) // 2130706433)
+            x0 = jax.device_put(np.random.default_rng(5).integers(
+                0, 2130706433, (R, N)).astype(np.uint32))
+
+            @jax.jit
+            def step(x):
+                for _ in range(K):
+                    x = _u.shoup_mul(jnp, x, w, ws, p)
+                return x
+
+            np.asarray(step(x0))                          # compile
+
+            def run(k):
+                t0 = time.perf_counter()
+                x = x0
+                for _ in range(k):
+                    x = step(x)
+                np.asarray(x.ravel()[:2])
+                return time.perf_counter() - t0
+
+            run(2)
+            t1, t2 = run(12), run(24)
+            sec = (t2 - t1) / 12
+            _emit(f'drift_probe_w32_shoupmul_gmul_per_s_{tag}',
+                  K * R * N / sec / 1e9, 'Gmul/s (pinned probe)', 1.0)
+        probe()
+
+    _drift_probe('start')
+
     # ---- HEADLINE (measured FIRST): BFV mult_relin, 31-bit word -------------
     w32_ops = {'v': 0.0}
 
@@ -335,8 +388,20 @@ def main():
         ca32 = jax.device_put(np.stack([c.data for c in cc[:batch]]))
         cb32 = jax.device_put(np.stack([c.data for c in cc[batch:]]))
         ck32 = jax.device_put(key_tree(cctx32))
-        fc32 = make_batched_step(cctx32.engine, ckks_mult_relin_rescale2,
-                                 clvl, n_inputs=2)
+        # const-lifted jit (VERDICT r4 item 5): this scenario's remote
+        # compile hit 33 min with twiddle constants embedded in the HLO;
+        # lifting them to runtime arguments shrinks the serialized program
+        # (NOTES.md: constant-heavy segment compiles dropped 4-6x).
+        # Steady-state is identical (tables live in HBM either way).
+        if os.environ.get('LATTISENSE_BENCH_LIFT_COMPOSITE', '1') \
+                not in ('', '0'):
+            from lattisense_tpu.utils.jit_lift import jit_lifted
+            fc32 = jit_lifted(make_batched_step(
+                cctx32.engine, ckks_mult_relin_rescale2, clvl, n_inputs=2,
+                jit=False))
+        else:
+            fc32 = make_batched_step(cctx32.engine, ckks_mult_relin_rescale2,
+                                     clvl, n_inputs=2)
         np.asarray(jax.tree.leaves(fc32(ca32, cb32, ck32))[0].ravel()[:2])
         ops_s = _slope_fresh(lambda x, y: fc32(x, y, ck32), (ca32, cb32),
                              batch)
@@ -344,6 +409,9 @@ def main():
               ops_s, 'ops/s', vs('ckks_mult_relin_rescale', ops_s))
 
     ckks_w32()
+
+    # ---- drift probe again (intra-run drift bracketing) ---------------------
+    _drift_probe('end')
 
     # ---- final line = the headline (driver parses the last JSON line) -------
     print(_headline_or_skip_line(), flush=True)

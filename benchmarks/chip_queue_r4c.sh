@@ -16,7 +16,10 @@ note() { echo "$(date -u '+%m-%d %H:%M:%S') $*" >> "$LOG/queue.log"; }
 # own note immediately — two tunnel clients, and the weaker one died
 # RESOURCE_EXHAUSTED (tunnel-discipline notes).
 note "r4c queue armed (pid $$), waiting for the full-profile run"
-while ! grep -q "MARKER-BTPFULL2-EXIT" "$LOG/queue.log" 2>/dev/null; do
+# Gate on the marker run_full_btp.sh actually writes (advisor r4: the
+# earlier MARKER-BTPFULL2-EXIT string had no producer — the gate never
+# fired). Anchored so a partial mention can't satisfy it.
+while ! grep -q "MARKER-FULLBTP-DONE" "$LOG/queue.log" 2>/dev/null; do
   sleep 180
 done
 sleep 60

@@ -18,6 +18,10 @@ import numpy as np
 
 def timeit(fn, *args, iters=int(os.environ.get('LATTISENSE_PROBE_ITERS',
                                                '10'))):
+    """Marginal k-vs-2k slope with a physicality guard (VERDICT r4 item
+    10): host load can corrupt a slope into a NEGATIVE time — such a
+    reading is re-measured with doubled iters instead of being emitted;
+    after 4 attempts the probe refuses loudly rather than print garbage."""
     import jax
     out = fn(*args)
     np.asarray(jax.tree.leaves(out)[0].ravel()[:2])
@@ -31,8 +35,16 @@ def timeit(fn, *args, iters=int(os.environ.get('LATTISENSE_PROBE_ITERS',
         return time.perf_counter() - t0
 
     run(2)
-    t1, t2 = run(iters), run(2 * iters)
-    return (t2 - t1) / iters
+    for attempt in range(4):
+        t1, t2 = run(iters), run(2 * iters)
+        slope = (t2 - t1) / iters
+        if slope > 0:
+            return slope
+        print(f'# guard: non-physical slope {slope * 1e3:.3f} ms at '
+              f'iters={iters} (host load?) — re-measuring', flush=True)
+        iters *= 2
+    raise RuntimeError('probe slope stayed non-positive after 4 attempts; '
+                       'host too loaded for a decision-grade reading')
 
 
 def main():
@@ -69,9 +81,18 @@ def main():
     reps = int(os.environ.get('LATTISENSE_PROBE_REPS', '1'))
 
     def report(tag, fn, *a):
-        ts = [timeit(fn, *a) for _ in range(reps)]
-        t = min(ts)
-        spread = (max(ts) / t - 1) * 100 if reps > 1 else 0.0
+        for attempt in range(3):
+            ts = [timeit(fn, *a) for _ in range(reps)]
+            t = min(ts)
+            spread = (max(ts) / t - 1) * 100 if reps > 1 else 0.0
+            if 0 <= spread <= 100:
+                break
+            print(f'# guard: spread {spread:.0f}% > 100% for {tag} — '
+                  're-measuring', flush=True)
+        else:
+            print(f'{tag:28s} REFUSED (spread stayed > 100%; host too '
+                  'loaded for a decision-grade reading)', flush=True)
+            return None
         print(f'{tag:28s} {t * 1e3:8.3f} ms  {t * 1e6 / rows:7.3f} '
               f'us/limb-row  (spread {spread:.0f}%)', flush=True)
         return t

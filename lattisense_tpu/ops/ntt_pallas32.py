@@ -473,16 +473,26 @@ _R4_INV = _os.environ.get('LATTISENSE_NTT32_R4_INV',
     not in ('', '0')
 
 
-def ntt_fused32(x, ring, rows_per_block: int = 8):
+# Default rows-per-block of the fused kernels (grid tile height). 8 was
+# the round-2 sweep winner for an earlier kernel variant; larger tiles
+# amortize per-grid-step pipeline overhead and relayout fixed costs —
+# re-decided by chip A/B (benchmarks/ntt32_probe.py --rows / headline
+# A/B) against the current splat-table kernels.
+_ROWS = int(_os.environ.get('LATTISENSE_NTT32_ROWS', '8'))
+
+
+def ntt_fused32(x, ring, rows_per_block: int = 0):
     """Forward NTT over (..., L, n) u32, bit-identical to core.ntt.ntt."""
+    rows_per_block = rows_per_block or _ROWS
     if _R4:
         return _vmap_entry(ring, rows_per_block, _ntt_fused_impl4,
                            'fwd32r4')(x)
     return _vmap_entry(ring, rows_per_block, _ntt_fused_impl, 'fwd32')(x)
 
 
-def intt_fused32(x, ring, rows_per_block: int = 8):
+def intt_fused32(x, ring, rows_per_block: int = 0):
     """Inverse NTT over (..., L, n) u32, bit-identical to core.ntt.intt."""
+    rows_per_block = rows_per_block or _ROWS
     if _R4_INV:
         return _vmap_entry(ring, rows_per_block, _intt_fused_impl4,
                            'inv32r4')(x)

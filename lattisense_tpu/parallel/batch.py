@@ -23,13 +23,17 @@ def _wrap_ct(data, level, is_ntt, scale):
 
 def make_batched_step(engine, step_fn, level: int, *, mesh=None,
                       limb_sharded: bool = False, is_ntt: bool = False,
-                      n_inputs: int = 2, donate: bool = False):
+                      n_inputs: int = 2, donate: bool = False,
+                      jit: bool = True):
     """Compile ``step_fn(engine, *cts, keys) -> ct`` into a batched, sharded,
     jitted callable over raw arrays.
 
     Returns f(a_data[B,2,L,n], ..., keys) -> out_data[B,...]. When ``mesh``
     is given, inputs are constrained to (op × limb) shardings; otherwise the
     single-chip jit path is produced (the driver's ``entry()`` contract).
+    ``jit=False`` returns the raw batched callable (single-chip only) so a
+    caller can apply its own wrapper — e.g. ``utils.jit_lift.jit_lifted``
+    to keep twiddle-table constants out of the serialized HLO.
     """
     scale = getattr(engine.params, 'scale', 1.0)
 
@@ -41,7 +45,10 @@ def make_batched_step(engine, step_fn, level: int, *, mesh=None,
     batched = jax.vmap(single, in_axes=(*([0] * n_inputs), None))
 
     if mesh is None:
+        if not jit:
+            return batched
         return jax.jit(batched, donate_argnums=tuple(range(n_inputs)) if donate else ())
+    assert jit, 'jit=False is single-chip only'
 
     ct_sh = NamedSharding(mesh, ct_batch_spec(limb_sharded))
     key_sh = NamedSharding(mesh, key_spec(limb_sharded))

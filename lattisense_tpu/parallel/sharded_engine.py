@@ -73,6 +73,10 @@ class _ShardedSwitcher:
         self.n = base.n
         self.word_bits = base.word_bits
         self.alpha = base.alpha
+        # per-instance cache (NOT lru_cache on the method: that would key
+        # the process-global cache on self and pin every switcher/mesh
+        # graph ever created — advisor r4)
+        self._cs_cache: dict = {}
 
     def beta(self, level: int) -> int:
         return self.base.beta(level)
@@ -80,9 +84,12 @@ class _ShardedSwitcher:
     def _level_pre(self, level: int):
         return self.base._level_pre(level)
 
-    @functools.lru_cache(maxsize=None)
     def _cs(self, level: int) -> CoeffShardedKeySwitcher:
-        return CoeffShardedKeySwitcher(self.base, level, self.mesh, self.axis)
+        cs = self._cs_cache.get(level)
+        if cs is None:
+            cs = self._cs_cache[level] = CoeffShardedKeySwitcher(
+                self.base, level, self.mesh, self.axis)
+        return cs
 
     def _kd(self, xp, ksk, level: int):
         b, L = self.base.beta(level), level + 1

@@ -599,11 +599,12 @@ class FheTaskTpu:
                 # const lifting (utils/jit_lift.py): full-size segment HLO
                 # embeds 100s of MB of DFT-diagonal/twiddle constants and
                 # exceeds the remote compiler's request limit (HTTP 413);
-                # defaults ON at n >= 32768, LATTISENSE_JIT_LIFT overrides
+                # smaller profiles carry the same constant populations and
+                # compile several-fold faster lifted (NOTES.md round-4), so
+                # the default is ON everywhere; LATTISENSE_JIT_LIFT overrides
                 import os as _os
-                lift = _os.environ.get(
-                    'LATTISENSE_JIT_LIFT',
-                    '1' if eng.params.n >= 32768 else '0') not in ('', '0')
+                lift = _os.environ.get('LATTISENSE_JIT_LIFT', '1') \
+                    not in ('', '0')
                 if lift:
                     from ..utils.jit_lift import jit_lifted
                     hit = (jit_lifted(g), g.out_meta)

@@ -57,7 +57,15 @@ func valueTypeName(v interface{}, declared string) string {
 		}
 		return "ct"
 	case *Plaintext:
-		return declared // pt / pt_ringt / pt_mul share the raw layout
+		// pt / pt_ringt / pt_mul genuinely share the raw layout, so the
+		// declared name is trusted WITHIN the pt family only; a plaintext
+		// supplied where the signature declares ct must still produce the
+		// reference's verbatim type-mismatch error (check_sig.h:53).
+		switch declared {
+		case "pt", "pt_ringt", "pt_mul":
+			return declared
+		}
+		return "pt"
 	case *KeySwitchKey:
 		return "rlk"
 	case *GaloisKeys:

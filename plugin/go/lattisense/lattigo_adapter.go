@@ -47,8 +47,17 @@ func FromLattigoRelinKey(rk *rlwe.RelinearizationKey, level int) *KeySwitchKey {
 	for i := range swk.Value {
 		for _, pair := range swk.Value[i] {
 			var entry [2][][]uint64
-			entry[0] = pair.Value[0].Q.Coeffs
-			entry[1] = pair.Value[1].Q.Coeffs
+			// The ABI carries the full QP gadget rows: Q limbs then P
+			// limbs, matching the reference exporter's order (plug-in/
+			// lattigo/acc/c_struct_import_export.go:54-57). Dropping P
+			// would key-switch incorrectly for hybrid-gadget keys.
+			for j := 0; j < 2; j++ {
+				rows := append([][]uint64{}, pair.Value[j].Q.Coeffs...)
+				if p := pair.Value[j].P; p != nil {
+					rows = append(rows, p.Coeffs...)
+				}
+				entry[j] = rows
+			}
 			out.Keys = append(out.Keys, entry)
 		}
 	}
