@@ -11,49 +11,23 @@ import jax, jax.numpy as jnp
 jax.config.update('jax_compilation_cache_dir', '/tmp/lattisense_jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 from lattisense_tpu.schemes.types import Ciphertext
-from lattisense_tpu.params import CkksParams
 from lattisense_tpu.runtime import CkksBtpContext
-from lattisense_tpu.schemes.bootstrap import BootstrapConfig
-from lattisense_tpu.core.modring import gen_ntt_primes
 
 mode = (sys.argv[1] if len(sys.argv) > 1
         and not sys.argv[1].startswith('--') else 'smoke')
 t0 = time.time()
-if mode == 'smoke':
-    N = 256
-    q0 = gen_ntt_primes(N, 61, 1)
-    qs = gen_ntt_primes(N, 60, 22)
-    p = gen_ntt_primes(N, 61, 3, exclude=tuple(q0))
-    params = CkksParams.create_custom(N, q0 + qs, p[1:], scale=float(1 << 45))
-    cfg = BootstrapConfig(cts_depth=3, stc_depth=3, k=16, sine_deg=30, double_angle=3)
-    ctx = CkksBtpContext.create_random_context(params, seed=7, h=32, btp_config=cfg)
-elif mode == 'full':
-    # the reference FULL profile (n=2^16, 25 limbs) at the best-known
-    # quality config (ratio 4 + deg-3 arcsine -> 8.25e-5, BASELINE.md).
-    # Host walk + keygen take ~1 h CPU before the first device contact;
-    # segment compiles are persistent-cached.
-    from lattisense_tpu.frontend.custom_task import CkksBtpParam
-    fe = CkksBtpParam.create_default_param()
-    params = CkksParams.create_custom(fe.n, fe.q, fe.p, slots=fe.slots, scale=float(fe.scale))
-    cfg = BootstrapConfig(cts_depth=fe.cts_params.depth(), stc_depth=fe.stc_params.depth(),
-                          k=20, sine_deg=39, double_angle=fe.eval_mod_params.double_angle,
-                          em_scale=float(fe.eval_mod_params.scaling_factor),
-                          message_ratio=4.0, arcsine=True)
-    ctx = CkksBtpContext.create_random_context(params, seed=77, h=192, btp_config=cfg)
-else:
-    # the reference toy profile (n=8192 — the config its CI exercises,
-    # unittests/test_cpu_ckks.cpp:847) at the precision-MEETING dial
-    # (ratio 8 + deg-3 arcsine -> 5.4e-6, BASELINE.md round-2 session 4);
-    # --sparse halves log_slots (the reference's sparse-slots variant)
-    from lattisense_tpu.frontend.custom_task import CkksBtpParam
-    fe = CkksBtpParam.create_toy_param()
-    slots = fe.slots // 4 if '--sparse' in sys.argv else fe.slots
-    params = CkksParams.create_custom(fe.n, fe.q, fe.p, slots=slots, scale=float(fe.scale))
-    cfg = BootstrapConfig(cts_depth=fe.cts_params.depth(), stc_depth=fe.stc_params.depth(),
-                          k=20, sine_deg=39, double_angle=fe.eval_mod_params.double_angle,
-                          em_scale=float(fe.eval_mod_params.scaling_factor),
-                          message_ratio=8.0, arcsine=True)
-    ctx = CkksBtpContext.create_random_context(params, seed=77, h=192, btp_config=cfg)
+# profile definitions shared with the sharded-mesh runner so walk caches
+# and artifacts are comparable (benchmarks/btp_profiles.py):
+#   smoke: n=256 fast check
+#   toy:   reference CI profile (n=8192, test_cpu_ckks.cpp:847), ratio 8
+#          + deg-3 arcsine (5.4e-6 band); --sparse quarters the slots
+#   full:  reference n=2^16 profile, ratio 4 + arcsine (8.25e-5 band);
+#          host walk + keygen ~1 h CPU before first device contact
+#          (cached after the first run)
+from btp_profiles import build as _build_profile
+params, cfg, _seed, _h = _build_profile(mode, sparse='--sparse' in sys.argv)
+ctx = CkksBtpContext.create_random_context(params, seed=_seed, h=_h,
+                                           btp_config=cfg)
 print(f'keygen {time.time()-t0:.0f}s', flush=True)
 eng = ctx.engine
 bs = eng.bootstrapper

@@ -412,7 +412,14 @@ def _regroup(x, L, n, rows_per_block):
 
 import os as _os
 
-_SPLAT = _os.environ.get('LATTISENSE_NTT32_SPLAT', '1') not in ('', '0')
+# Default flipped OFF in round 5: the splat tables + fused key switch
+# were round-3-day wins, but the 2026-08-20 remote compiler lowers the
+# round-2 gate set 13% FASTER end-to-end (931.6 vs 821.8 ops/s median,
+# interleaved same-process A/B, benchmarks/gates_ab_probe.py) and
+# compiles it 10x faster (88 s vs 822 s). This also closes the r4
+# headline-regression question: the drop was gate-vs-compiler, not chip
+# drift. LATTISENSE_NTT32_SPLAT=1 restores.
+_SPLAT = _os.environ.get('LATTISENSE_NTT32_SPLAT', '0') not in ('', '0')
 _INV_MULBEFORE = _os.environ.get('LATTISENSE_NTT32_INVMB', '0') \
     not in ('', '0')
 _SPLATB = _os.environ.get('LATTISENSE_NTT32_SPLATB', '0') not in ('', '0')

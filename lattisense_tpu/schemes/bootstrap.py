@@ -437,15 +437,52 @@ class CkksBootstrapper:
                         Ciphertext(data=d1, level=lv, is_ntt=ntt, scale=sc))
             return seg
 
-        def st_cheb(xp, c, rlk):
-            return self.evalmod(xp, c, rlk, anchor=self.em_scale)
+        # List-valued twin of _em_pair for the staged Chebyshev eval:
+        # boundaries carry (re_0..re_{k-1}, im_0..im_{k-1}); the re/im
+        # halves share metadata positionally (symmetric plans), so both
+        # run as ONE vmapped program exactly like _em_pair.
+        def _em_pair_list(stage_fn):
+            def seg(xp, cts, rlk, glk_map):
+                half = len(cts) // 2
+                res, ims = cts[:half], cts[half:]
+
+                def one(datas):
+                    cc = [Ciphertext(data=d, level=r.level, is_ntt=r.is_ntt,
+                                     scale=r.scale)
+                          for d, r in zip(datas, res)]
+                    out = stage_fn(xp, cc, rlk)
+                    one.meta = [(c.level, c.is_ntt, c.scale) for c in out]
+                    return tuple(c.data for c in out)
+
+                if xp is np:
+                    d_re = one(tuple(c.data for c in res))
+                    d_im = one(tuple(c.data for c in ims))
+                else:
+                    import jax
+                    stacked = tuple(xp.stack([r.data, i.data])
+                                    for r, i in zip(res, ims))
+                    outs = jax.vmap(lambda *ds: one(ds))(*stacked)
+                    d_re = tuple(o[0] for o in outs)
+                    d_im = tuple(o[1] for o in outs)
+
+                def mk(ds):
+                    return tuple(Ciphertext(data=d, level=m[0], is_ntt=m[1],
+                                            scale=m[2])
+                                 for d, m in zip(ds, one.meta))
+                return mk(d_re) + mk(d_im)
+            return seg
 
         def st_da(xp, c, rlk):
             for _ in range(self.cfg.double_angle):
                 c = self._double_angle(xp, c, rlk)
             return c
 
-        segs.append(('evalmod', _em_pair(st_cheb)))
+        # The fused deg-39 Chebyshev program exceeded the remote
+        # compiler's capacity at n=2^16 even const-lifted (compile helper
+        # OOM-killed, round-4 end artifacts) — each sub-stage (baby
+        # basis / giant basis / PS recursion) compiles on its own.
+        for suffix, st in self.evalmod.stages(self.em_scale):
+            segs.append((f'evalmod_{suffix}', _em_pair_list(st)))
         if self.cfg.double_angle:
             segs.append(('evalmod_da', _em_pair(st_da)))
         if self.cfg.arcsine:

@@ -233,16 +233,15 @@ class KeySwitcher:
         if getattr(x, 'dtype', None) is not None:
             from ..core import ntt as ntt_mod
             if (ntt_mod._pallas32_ok(xp, self.n, x.dtype)
-                    and os.environ.get('LATTISENSE_KSW32', '1') not in ('', '0')):
-                # fused single-kernel switch — bit-identical; DEFAULT ON
-                # for w32 on TPU since round 3. Interleaved in-process
-                # A/B (benchmarks/ksw_ab_probe.py, chip 2026-08-19):
-                # fused 827.3 vs XLA 820.2 ops/s headline — ~+1%, parity
-                # within noise, and one kernel instead of an XLA
-                # composition (less HBM, smaller programs). Single-shot
-                # tunnel readings swing up to ±20% between processes —
-                # only interleaved same-process A/Bs are decision-grade.
-                # LATTISENSE_KSW32=0 restores the XLA path.
+                    and os.environ.get('LATTISENSE_KSW32', '0') not in ('', '0')):
+                # fused single-kernel switch — bit-identical; was DEFAULT
+                # ON for w32 since round 3 (ksw_ab_probe 2026-08-19:
+                # 827.3 vs 820.2, parity). Default flipped OFF round 5:
+                # the 2026-08-20 compiler runs the round-2 gate set
+                # (XLA switch + no splat tables) 13% faster end-to-end
+                # and compiles it 10x faster (benchmarks/
+                # gates_ab_probe.py, 931.6 vs 821.8 ops/s interleaved).
+                # LATTISENSE_KSW32=1 restores the fused kernel.
                 from ..ops.ksw_pallas32 import ksw_switch32
                 return ksw_switch32(x, ksk, self, level, output_ntt)
         digits = self.decompose_modup_ntt(xp, x, level)

@@ -83,7 +83,13 @@ class ChebyshevEvaluator:
         d = len(self.coeffs) - 1
         m = max((d).bit_length(), 1)
         self.baby_log = baby_log if baby_log is not None else (m + 1) // 2
-        self.giant_logs = list(range(self.baby_log, m))
+        # Giants needed by the recursion: T_{2^(bl+1)} .. T_{2^(m-1)}
+        # (the top divmod block is 2^(m-1); babies already provide
+        # T_{2^bl}). range(bl, m) built one EXTRA giant T_{2^m} that no
+        # divmod ever reads — one wasted ct-ct mult at the deepest
+        # (most expensive) level of every evaluation (round-5 fix;
+        # outputs are bit-identical, the entry was simply never used).
+        self.giant_logs = list(range(self.baby_log, m - 1))
 
     # ---- scale-targeted level plan ---------------------------------------
     # Backward plan (Lattigo-style): σ(ℓ) := sqrt(σ(ℓ-1)·q_ℓ). A product of
@@ -169,8 +175,8 @@ class ChebyshevEvaluator:
         return out
 
     # ---- basis -----------------------------------------------------------
-    def _basis(self, xp, ct, rlk):
-        """T_1 = affine(x); babies T_2..T_{2^bl - 1}; giants T_{2^k}."""
+    def _basis_babies(self, xp, ct, rlk):
+        """T_1 = affine(x); babies T_2..T_{2^bl}."""
         a, b = self.a, self.b
         if self.pre_normalized:
             y = ct
@@ -195,12 +201,26 @@ class ChebyshevEvaluator:
                         if diff else None)
                 T[k + 1] = (self._add_const(xp, t, -1.0) if diff == 0
                             else self._add(xp, t, corr))
+        return T
+
+    def _basis_giants(self, xp, T, rlk):
         for lg in self.giant_logs:
             src = 1 << lg
             t = self._mult(xp, T[src], T[src], rlk)
             t = self._add(xp, t, t)
             T[2 * src] = self._add_const(xp, t, -1.0)
         return T
+
+    def _basis(self, xp, ct, rlk):
+        return self._basis_giants(xp, self._basis_babies(xp, ct, rlk), rlk)
+
+    # canonical basis-key orders for the staged evaluation boundaries
+    def _baby_keys(self):
+        return sorted({1} | set(range(2, (1 << self.baby_log) + 1)))
+
+    def _all_keys(self):
+        return sorted(set(self._baby_keys())
+                      | {2 << lg for lg in self.giant_logs})
 
     def _eval_rec(self, xp, coeffs, T, rlk):
         d = len(coeffs) - 1
@@ -226,9 +246,8 @@ class ChebyshevEvaluator:
         out = self._mult(xp, qc, T[g], rlk)
         return self._add(xp, out, rc)
 
-    def __call__(self, xp, ct: Ciphertext, rlk, anchor: float | None = None) -> Ciphertext:
-        self._plan_scales(anchor or ct.scale)
-        # enter exactly on plan: one steering multiply if off by > 1e-9
+    def _enter(self, xp, ct):
+        """Steer onto the plan: one steering multiply if off by > 1e-9."""
         sig = self._sigma[ct.level]
         if abs(ct.scale - sig) / sig > 1e-9:
             eng = self.engine
@@ -237,8 +256,48 @@ class ChebyshevEvaluator:
             pt = eng.encode_const(1.0, ct.level, pt_scale, xp)
             ct = self._rescale(xp, eng.mult(xp, ct, pt))
             ct.scale = self._sigma[ct.level]
+        return ct
+
+    def __call__(self, xp, ct: Ciphertext, rlk, anchor: float | None = None) -> Ciphertext:
+        self._plan_scales(anchor or ct.scale)
+        ct = self._enter(xp, ct)
         T = self._basis(xp, ct, rlk)
         return self._eval_rec(xp, self.coeffs, T, rlk)
+
+    def stages(self, anchor: float):
+        """The evaluation as [(suffix, fn)] with
+        fn(xp, cts: list[Ciphertext], rlk) -> list[Ciphertext]; folding in
+        order is op-for-op identical to ``__call__(..., anchor=anchor)``.
+
+        Exists so a caller can put jit/compile boundaries INSIDE the
+        evaluation: the fused full-size (n=2^16) bootstrap EvalMod program
+        exceeded the remote compiler's capacity even const-lifted (the
+        compile helper was OOM-killed, round-4 artifacts) — the three
+        sub-programs (baby basis / giant basis / PS recursion) each
+        compile. Boundaries carry the live basis entries in canonical key
+        order (``_baby_keys``/``_all_keys``)."""
+        def s_babies(xp, cts, rlk):
+            ct, = cts
+            self._plan_scales(anchor)
+            T = self._basis_babies(xp, self._enter(xp, ct), rlk)
+            return [T[k] for k in self._baby_keys()]
+
+        def s_giants(xp, cts, rlk):
+            self._plan_scales(anchor)
+            T = dict(zip(self._baby_keys(), cts))
+            T = self._basis_giants(xp, T, rlk)
+            return [T[k] for k in self._all_keys()]
+
+        def s_eval(xp, cts, rlk):
+            self._plan_scales(anchor)
+            T = dict(zip(self._all_keys(), cts))
+            return [self._eval_rec(xp, self.coeffs, T, rlk)]
+
+        out = [('b', s_babies)]
+        if self.giant_logs:
+            out.append(('g', s_giants))
+        out.append(('e', s_eval))
+        return out
 
 
 def poly_eval_relu(engine, xp, ct, rlk, degree: int = 15,

@@ -104,3 +104,34 @@ def test_encode_const_matches_full_encode(ctx):
         got_jit = np.asarray(jax.jit(body)(np.asarray(ct.data)))
         want = eng.mult(np, ct, eng.encode_const(c, level))
         assert np.array_equal(got_jit, np.asarray(want.data))
+
+
+def test_staged_evaluation_matches_fused(ctx):
+    """stages() folding is bit-identical to __call__ — the jit-boundary
+    split that lets the full-size bootstrap EvalMod compile (the fused
+    deg-39 program OOM-killed the remote compile helper at n=2^16,
+    round-4 end artifacts). Also pins the giant-basis trim: no basis
+    entry beyond the top divmod block 2^(bit_length(d)-1) is built."""
+    rng = np.random.default_rng(4)
+    level = ctx.params.max_level
+    coeffs = chebyshev_interpolate(np.sin, -1, 1, 39)
+    ev = ChebyshevEvaluator(ctx.engine, coeffs, -1, 1)
+    assert max(ev._all_keys()) == 32        # deg-39 top block; T64 trimmed
+
+    v = rng.uniform(-1, 1, ctx.params.slots)
+    ct = ctx.encrypt(ctx.encode(v, level))
+    fused = ev(np, ct, ctx.rlk, anchor=ct.scale)
+
+    # identical input ciphertext for both paths
+    cts = [type(ct)(data=np.array(ct.data), level=ct.level,
+                    is_ntt=ct.is_ntt, scale=ct.scale)]
+    names = []
+    for name, fn in ev.stages(ct.scale):
+        cts = fn(np, cts, ctx.rlk)
+        names.append(name)
+    assert names == ['b', 'g', 'e']
+    staged = cts[0]
+    assert np.array_equal(fused.data, staged.data)
+    assert (fused.level, fused.scale) == (staged.level, staged.scale)
+    got = ctx.decrypt_decode(staged).real
+    np.testing.assert_allclose(got, np.sin(v), atol=1e-3)

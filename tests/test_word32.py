@@ -313,7 +313,7 @@ def test_mult_relin_gated_kernels_bit_exact(monkeypatch, ctx_pair):
     eb = c32.encrypt(c32.encode(msg_b, 3))
     eng = c32.engine
     import jax
-    want = np.asarray(jax.jit(lambda x, y: eng.mult(jnp, 
+    want = np.asarray(jax.jit(lambda x, y: eng.mult(jnp,
         __import__('lattisense_tpu.schemes.types', fromlist=['Ciphertext']).Ciphertext(data=x, level=3),
         __import__('lattisense_tpu.schemes.types', fromlist=['Ciphertext']).Ciphertext(data=y, level=3)).data)(ea.data, eb.data))
     monkeypatch.setattr(ntt_mod, '_PALLAS32_ENV', '1')
