@@ -49,8 +49,11 @@ _SHAPE_RE = re.compile(r'\b([a-z]+\d*)\[([\d,]*)\]')
 
 def collective_bytes(fn, *args):
     """Compile fn(*args) and sum output bytes per collective kind from the
-    optimized HLO (shapes are PER-DEVICE after SPMD partitioning)."""
-    txt = jax.jit(fn).lower(*args).compile().as_text()
+    optimized HLO (shapes are PER-DEVICE after SPMD partitioning).
+    ``fn`` may be an already-jitted callable (has .lower) or a plain
+    trace-compatible function."""
+    jfn = fn if hasattr(fn, 'lower') else jax.jit(fn)
+    txt = jfn.lower(*args).compile().as_text()
     out = {}
     for line in txt.splitlines():
         line = line.strip()
@@ -76,7 +79,7 @@ def collective_bytes(fn, *args):
 
 def main():
     from lattisense_tpu.core.modring import gen_ntt_primes
-    from lattisense_tpu.core import keys as K
+    from lattisense_tpu.schemes import keys as K
     from lattisense_tpu.schemes.keyswitch import KeySwitcher
     from lattisense_tpu.schemes.galois import galois_elt_col
     from lattisense_tpu.parallel.coeff_sharded import (
@@ -115,11 +118,11 @@ def main():
     moduli = tuple(gen_ntt_primes(n, 50, L))
     dn = DistNtt(moduli, n, mesh)
     x = np.stack([rng.integers(0, q, n, dtype=np.uint64) for q in moduli])
-    audit('dist_ntt_fwd', collective_bytes(dn.ntt, x),
+    audit('dist_ntt_fwd', collective_bytes(dn._jitted(x.ndim, True), x),
           2 * L * n / D,
           'two all_to_alls of n/D words per limb-row transform')
     y = np.asarray(dn.ntt(x))
-    audit('dist_ntt_inv', collective_bytes(dn.intt, y),
+    audit('dist_ntt_inv', collective_bytes(dn._jitted(y.ndim, False), y),
           2 * L * n / D,
           'two all_to_alls of n/D words per limb-row transform')
 
@@ -134,22 +137,32 @@ def main():
     level = L - 1
     xs = np.stack([rng.integers(0, qi, n, dtype=np.uint64)
                    for qi in q[:level + 1]])
+    from lattisense_tpu.schemes.types import KeySwitchKey
+    ksk_t = KeySwitchKey(key_q=ksk.key_q, key_p=ksk.key_p, level=level,
+                         sp_level=sw.alpha - 1)
     cks = CoeffShardedKeySwitcher(sw, level, mesh)
+    kd = cks.prep_keys(ksk_t)
     T = (level + 1) + len(p)            # QP rows carried through the switch
     beta = sw.beta(level)
     audit('coeff_keyswitch',
-          collective_bytes(lambda a: cks(a, ksk.key_q, ksk.key_p), xs),
+          collective_bytes(cks._switch_jit, xs, kd),
           (beta * T + 2 * T) * n / D * 2,
           'all_to_all pairs over the mod-up NTTs (beta digits x T rows) '
           'and the two output polys; bytes dominated by digit transforms')
 
     # ---- limb-axis hybrid key switch ----------------------------------
-    lmesh = make_mesh(op=8 // D if D <= 8 else 1, limb=D)
+    lmesh = make_mesh(op=2, limb=D)
     lks = ShardedKeySwitcher(sw, level, lmesh)
+    lkd = lks.pad_keys(ksk.key_q, ksk.key_p)
+    xb = np.stack([xs, xs])             # (B=2, L, n), batch over 'op'
     audit('limb_keyswitch',
-          collective_bytes(lambda a: lks(a, ksk.key_q, ksk.key_p), xs),
-          2 * T * n / D + len(p) * n,
-          'psum_scatter 2*T*n/D + psum alpha*n (sharding_guide.md)')
+          collective_bytes(lambda a, k: lks.traced(a, k), xb, lkd),
+          2 * (2 * lks.T_pad * n / D + len(p) * n),
+          'per op: psum_scatter 2*T_pad*n/D + psum alpha*n — the guide '
+          'formula 2*T*n/D with T rounded up to the device-divisible '
+          'T_pad (padded rows ride the collective); B=2 ops in the '
+          'program. XLA additionally decomposes the reduce-scatter '
+          'into a pair of boundary collective-permutes on this backend.')
 
     # ---- coeff-sharded Galois rotation --------------------------------
     from lattisense_tpu.parallel.coeff_sharded import CoeffShardedRotator
@@ -158,7 +171,7 @@ def main():
                                  for qi in q[:level + 1]])])   # (2, L', n)
     rot = CoeffShardedRotator(sw, level, mesh, elt)
     audit('coeff_rotate',
-          collective_bytes(lambda a: rot(a, ksk.key_q, ksk.key_p), ct),
+          collective_bytes(rot._jit, ct, kd),
           2 * (level + 1) * n
           + (beta * T + 2 * T) * n / D * 2,
           'all_gather for the two static automorphism permutations '
