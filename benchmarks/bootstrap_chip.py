@@ -12,6 +12,7 @@ jax.config.update('jax_compilation_cache_dir', '/tmp/lattisense_jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 from lattisense_tpu.schemes.types import Ciphertext
 from lattisense_tpu.runtime import CkksBtpContext
+from lattisense_tpu.schemes.poly_eval import EVAL_VERSION as _EV
 
 mode = (sys.argv[1] if len(sys.argv) > 1
         and not sys.argv[1].startswith('--') else 'smoke')
@@ -70,6 +71,7 @@ if _walk_cache and os.path.exists(_walk_cache):
         z = np.load(_walk_cache, allow_pickle=False)
         hdr = _json.loads(str(z['header']))
         if hdr['n_seg'] == len(segs) and hdr['n'] == p_.n \
+                and hdr.get('ver') == _EV \
                 and hdr['names'] == [n_ for n_, _ in segs]:
             metas = [[tuple(m) for m in ms] for ms in hdr['metas']]
             seg_elems = hdr['seg_elems']
@@ -97,7 +99,7 @@ if metas is None:
     _out_meta = (host_out.level, host_out.is_ntt, host_out.scale)
     host_err = float(np.max(np.abs(ctx.decrypt_decode(host_out).real - msg)))
     if _walk_cache:
-        hdr = {'n': p_.n, 'n_seg': len(segs),
+        hdr = {'n': p_.n, 'ver': _EV, 'n_seg': len(segs),
                'names': [n_ for n_, _ in segs],
                'metas': [[list(m) for m in ms] for ms in metas],
                'seg_elems': [list(map(int, e)) for e in seg_elems],

@@ -45,7 +45,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
 
 from btp_profiles import build as build_profile  # noqa: E402
 from lattisense_tpu.schemes.types import Ciphertext  # noqa: E402
-from lattisense_tpu.runtime import CkksBtpContext  # noqa: E402
+from lattisense_tpu.runtime import CkksBtpContext
+from lattisense_tpu.schemes.poly_eval import EVAL_VERSION as _EV  # noqa: E402
 from lattisense_tpu.parallel.sharded_engine import CoeffShardedBootstrap  # noqa: E402
 
 
@@ -80,7 +81,8 @@ def main():
     if os.path.exists(cache):
         z = np.load(cache, allow_pickle=False)
         hdr = json.loads(str(z['header']))
-        if hdr['names'] == names and hdr['n'] == p_.n:
+        if hdr['names'] == names and hdr['n'] == p_.n \
+                and hdr.get('ver') == _EV:
             boundaries = [tuple(z[f'b{i}_{j}'] for j in range(c))
                           for i, c in enumerate(hdr['b_counts'])]
             host_err = hdr['host_err']
@@ -114,7 +116,7 @@ def main():
         out_meta = (cts[0].level, cts[0].is_ntt, cts[0].scale)
         host_err = float(np.max(np.abs(
             ctx.decrypt_decode(cts[0]).real - msg)))
-        hdr = {'n': p_.n, 'n_seg': len(segs), 'names': names,
+        hdr = {'n': p_.n, 'ver': _EV, 'n_seg': len(segs), 'names': names,
                'metas': [[list(m) for m in ms] for ms in metas],
                'seg_elems': [list(map(int, e)) for e in seg_elems],
                'b_counts': [len(b) for b in boundaries],

@@ -18,6 +18,11 @@ from .types import Ciphertext
 
 SCALE_FORCE_TOL = 1e-3
 
+# Bump when evaluation MATH changes (op sequence / rounding), so cached
+# bootstrap host-walk boundaries (benchmarks/bootstrap_chip.py) are
+# invalidated. 2 = round-5 leaf/baby pre-drop steering cut + giant trim.
+EVAL_VERSION = 2
+
 
 def chebyshev_interpolate(f, a: float, b: float, degree: int) -> np.ndarray:
     """Chebyshev series coefficients of f on [a, b] (degree+1 terms)."""
@@ -197,10 +202,17 @@ class ChebyshevEvaluator:
                 t = self._mult(xp, T[half], T[other], rlk)
                 t = self._add(xp, t, t)
                 diff = other - half
-                corr = (self._mul_const(xp, T[diff], -1.0)
-                        if diff else None)
-                T[k + 1] = (self._add_const(xp, t, -1.0) if diff == 0
-                            else self._add(xp, t, corr))
+                if diff == 0:
+                    T[k + 1] = self._add_const(xp, t, -1.0)
+                else:
+                    # pre-drop T_diff so its -1 multiply lands exactly on
+                    # t's (level, scale) — no align steer in the add
+                    td = T[diff]
+                    if td.level > t.level + self.step:
+                        td = self.engine.drop_level(
+                            xp, td, td.level - t.level - self.step)
+                    corr = self._mul_const(xp, td, -1.0)
+                    T[k + 1] = self._add(xp, t, corr)
         return T
 
     def _basis_giants(self, xp, T, rlk):
@@ -225,19 +237,30 @@ class ChebyshevEvaluator:
     def _eval_rec(self, xp, coeffs, T, rlk):
         d = len(coeffs) - 1
         if d < (1 << self.baby_log):
-            # direct: c_0 + Σ c_i T_i at a common level/scale
-            terms = []
+            # direct: c_0 + Σ c_i T_i at a common level/scale. Each term
+            # is PRE-DROPPED to the common target level so its single
+            # constant multiply lands exactly on σ(common) — the naive
+            # form (mul_const at T_i's own level, then align in the add)
+            # paid one extra steering multiply + rescale chain per
+            # level-mismatched term, ~25-30 extra rescale chains across a
+            # deg-39 EvalMod (round-5 cut; values differ only in one
+            # fewer rounding, precision re-pinned by the bootstrap tests).
+            idx = [i for i in range(1, d + 1) if abs(coeffs[i]) >= 1e-14]
             const = coeffs[0]
-            for i in range(1, d + 1):
-                if abs(coeffs[i]) < 1e-14:
-                    continue
-                terms.append(self._mul_const(xp, T[i], float(coeffs[i])))
-            if not terms:
+            if not idx:
                 base = self._mul_const(xp, T[1], 0.0)
                 return self._add_const(xp, base, float(const))
+            eng = self.engine
+            common = min(T[i].level for i in idx) - self.step
+            terms = []
+            for i in idx:
+                t = T[i]
+                if t.level > common + self.step:
+                    t = eng.drop_level(xp, t, t.level - common - self.step)
+                terms.append(self._mul_const(xp, t, float(coeffs[i])))
             out = terms[0]
             for t in terms[1:]:
-                out = self._add(xp, out, t)
+                out = eng.add(xp, out, t)        # same level+scale by plan
             return self._add_const(xp, out, float(const))
         g = 1 << (d.bit_length() - 1)
         q, r = cheb_divmod(coeffs, g)
