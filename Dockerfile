@@ -8,6 +8,18 @@ WORKDIR /opt/lattisense-tpu
 COPY csrc/ csrc/
 RUN make -C csrc
 
+# Go offload adapter (reference image ships Go 1.24; plug-in/lattigo
+# counterpart). Builds the cgo client against liblattisense_plugin.so so
+# the image can run the Go round-trip (tests/test_plugin_go.py).
+FROM golang:1.24-bookworm AS gobuild
+WORKDIR /opt/lattisense-tpu
+COPY csrc/ csrc/
+COPY plugin/go/ plugin/go/
+RUN make -C csrc plugin && \
+    cd plugin/go && \
+    go vet ./lattisense ./cmd/runtask && \
+    go build -o /opt/lattisense-tpu/bin/runtask ./cmd/runtask
+
 FROM python:3.12-slim
 RUN pip install --no-cache-dir "jax[cpu]" numpy sympy pytest
 WORKDIR /opt/lattisense-tpu
