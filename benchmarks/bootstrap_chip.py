@@ -8,6 +8,12 @@ sys.path.insert(0, '/root/repo')
 # switch path shares the ring tables across ops — keep it for bootstrap.
 os.environ.setdefault('LATTISENSE_KSW32', '0')
 import jax, jax.numpy as jnp
+# LATTISENSE_FORCE_CPU=1: run the whole script on the host CPU backend —
+# the sitecustomize force-pins JAX_PLATFORMS=axon in every process, so
+# the env var alone CANNOT keep a validation run off the single-client
+# chip tunnel (tunnel-discipline notes; cost a wedged tunnel 2026-08-21).
+if os.environ.get('LATTISENSE_FORCE_CPU', '') not in ('', '0'):
+    jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_compilation_cache_dir', '/tmp/lattisense_jax_cache')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 from lattisense_tpu.schemes.types import Ciphertext

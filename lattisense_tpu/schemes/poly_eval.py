@@ -311,6 +311,65 @@ class ChebyshevEvaluator:
             T = self._basis_giants(xp, T, rlk)
             return [T[k] for k in self._all_keys()]
 
+        # The PS recursion split once more: the fused recursion program is
+        # the largest sub-stage (154k jaxpr eqns at the n=2^16 profile —
+        # the same size class that OOM-killed the remote compile helper).
+        # 'l' evaluates every divmod-tree LEAF (constant multiplies only),
+        # 'e' walks the tree combining them (the ct-ct giant multiplies).
+        # Same ops, same operands, different emission order — values are
+        # identical to the fused recursion.
+        def _tree(coeffs):
+            d = len(coeffs) - 1
+            if d < (1 << self.baby_log):
+                return ('leaf', coeffs)
+            g = 1 << (d.bit_length() - 1)
+            q, r = cheb_divmod(coeffs, g)
+            return ('node', g, _tree(q), _tree(r))
+
+        tree = _tree(self.coeffs)
+
+        def _leaves(node, out):
+            if node[0] == 'leaf':
+                out.append(node[1])
+            else:
+                _leaves(node[2], out)
+                _leaves(node[3], out)
+            return out
+
+        n_leaves = len(_leaves(tree, []))
+
+        def _node_gs(node, out):
+            if node[0] == 'node':
+                out.add(node[1])
+                _node_gs(node[2], out)
+                _node_gs(node[3], out)
+            return out
+
+        # basis entries the combine stage multiplies by: every divmod
+        # block size in the tree (giants AND the top baby T_{2^bl})
+        comb_keys = sorted(_node_gs(tree, set()))
+
+        def s_leaves(xp, cts, rlk):
+            self._plan_scales(anchor)
+            T = dict(zip(self._all_keys(), cts))
+            leaf_cts = [self._eval_rec(xp, c, T, rlk)
+                        for c in _leaves(tree, [])]
+            return leaf_cts + [T[k] for k in comb_keys]
+
+        def s_combine(xp, cts, rlk):
+            self._plan_scales(anchor)
+            leaf_cts = list(cts[:n_leaves])
+            T = dict(zip(comb_keys, cts[n_leaves:]))
+            it = iter(leaf_cts)
+
+            def walk(node):
+                if node[0] == 'leaf':
+                    return next(it)
+                qc = walk(node[2])
+                rc = walk(node[3])
+                return self._add(xp, self._mult(xp, qc, T[node[1]], rlk), rc)
+            return [walk(tree)]
+
         def s_eval(xp, cts, rlk):
             self._plan_scales(anchor)
             T = dict(zip(self._all_keys(), cts))
@@ -319,7 +378,10 @@ class ChebyshevEvaluator:
         out = [('b', s_babies)]
         if self.giant_logs:
             out.append(('g', s_giants))
-        out.append(('e', s_eval))
+        if tree[0] == 'node':
+            out += [('l', s_leaves), ('e', s_combine)]
+        else:
+            out.append(('e', s_eval))
         return out
 
 

@@ -129,7 +129,7 @@ def test_staged_evaluation_matches_fused(ctx):
     for name, fn in ev.stages(ct.scale):
         cts = fn(np, cts, ctx.rlk)
         names.append(name)
-    assert names == ['b', 'g', 'e']
+    assert names == ['b', 'g', 'l', 'e']
     staged = cts[0]
     assert np.array_equal(fused.data, staged.data)
     assert (fused.level, fused.scale) == (staged.level, staged.scale)
