@@ -21,7 +21,6 @@ No reference analog (the reference's runtime never serializes programs
 TPU-runtime plumbing for the remote-compiler deployment model.
 """
 
-import functools
 
 import numpy as np
 
