@@ -169,7 +169,12 @@ def _slope_fresh(fn, feeds, batch, iters=8):
 def main():
     import lattisense_tpu  # noqa: F401  (x64)
     import jax
-    jax.config.update('jax_compilation_cache_dir', '/tmp/lattisense_jax_cache')
+    # Repo-local persistent compile cache: /tmp is wiped between operator
+    # sessions, so a pre-round interactive run warms the driver's compiles.
+    _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          '.cache', 'jax')
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', _cache)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     import jax.numpy as jnp
     from lattisense_tpu.params import BfvParams, CkksParams

@@ -14,7 +14,10 @@ import jax, jax.numpy as jnp
 # chip tunnel (tunnel-discipline notes; cost a wedged tunnel 2026-08-21).
 if os.environ.get('LATTISENSE_FORCE_CPU', '') not in ('', '0'):
     jax.config.update('jax_platforms', 'cpu')
-jax.config.update('jax_compilation_cache_dir', '/tmp/lattisense_jax_cache')
+# Persistent (repo-local, gitignored) compile + walk caches: /tmp is
+# wiped between operator sessions, and losing both cost a full-size
+# resume ~50 min walk + ~50 min recompiles (2026-08-21).
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.cache/jax')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 from lattisense_tpu.schemes.types import Ciphertext
 from lattisense_tpu.runtime import CkksBtpContext
@@ -68,9 +71,10 @@ class _RecGlk:
 # (profile, seed) — cache boundaries/metas/seg_elems on disk so re-runs
 # (and the isolated-mode chip session) skip straight to device work.
 import json as _json
+os.makedirs('/root/repo/.cache', exist_ok=True)
 _walk_cache = os.environ.get(
     'LATTISENSE_BTP_WALK_CACHE',
-    f'/tmp/lattisense_btp_walk_{mode}_{p_.n}.npz')
+    f'/root/repo/.cache/lattisense_btp_walk_{mode}_{p_.n}.npz')
 metas = boundaries = seg_elems = host_err = None
 if _walk_cache and os.path.exists(_walk_cache):
     try:
@@ -136,9 +140,20 @@ if '--isolated' in sys.argv:
     import gc
     from lattisense_tpu.utils.jit_lift import jit_lifted
 
+    # --seg-skip K: resume a partial table — skip the first K segments'
+    # compiles entirely (their boundaries come from the walk cache, so
+    # isolation semantics are unchanged). The 2026-08-2x partial runs
+    # re-paid ~52 min of compiles to reach segment 8; with this flag a
+    # resume costs only the walk-cache load.
+    skip = int(os.environ.get('LATTISENSE_BTP_ISO_SKIP', '0'))
+    if '--seg-skip' in sys.argv:
+        skip = int(sys.argv[sys.argv.index('--seg-skip') + 1])
     iso_ms = []
     reps = int(os.environ.get('LATTISENSE_BTP_ISO_REPS', '3'))
     for si, ((name, fn), meta) in enumerate(zip(segs, metas)):
+        if si < skip:
+            print(f'  {name:12s} skipped (--seg-skip {skip})', flush=True)
+            continue
         t0 = time.time()
         rlk_d = jax.device_put(ctx.rlk)
         glk_seg = {e: jax.device_put(ctx.glk.keys[e])
@@ -170,14 +185,16 @@ if '--isolated' in sys.argv:
         run(1)
         t1, t2 = run(reps), run(2 * reps)
         ms = (t2 - t1) / reps * 1e3
-        iso_ms.append((name, ms))
+        iso_ms.append((name, ms, len(glk_seg)))
         print(f'  {name:12s} {ms:8.1f} ms   (keys {len(glk_seg)}, '
               f'compile+check {t_compile:.0f}s)', flush=True)
         del jitted, ins, outs, glk_seg, rlk_d
         gc.collect()
-    total = sum(m for _, m in iso_ms)
+    total = sum(m for _, m, _ in iso_ms)
     print(f'bootstrap on chip ({mode}, isolated-sum): {total:.1f} ms/op '
-          f'(bit-exact vs host per segment)', flush=True)
+          f'(bit-exact vs host per segment'
+          f'{f"; first {skip} segments skipped" if skip else ""})',
+          flush=True)
     out_path = os.environ.get(
         'LATTISENSE_BTP_ISO_OUT',
         f'/root/repo/artifacts/bootstrap_{mode}_iso_'
@@ -190,9 +207,9 @@ if '--isolated' in sys.argv:
                       'inter-segment key re-staging excluded — production '
                       'fix is working-set sharding, '
                       'parallel/sharded_engine.CoeffShardedBootstrap)',
-            'segments_ms': {nm: round(m, 2) for nm, m in iso_ms},
-            'segment_keys': {nm: len(seg_elems[i])
-                             for i, (nm, _) in enumerate(iso_ms)},
+            'segments_ms': {nm: round(m, 2) for nm, m, _ in iso_ms},
+            'segment_keys': {nm: k for nm, _, k in iso_ms},
+            'seg_skip': skip,
             'pipeline_sum_ms': round(total, 1),
             'host_path_err': host_err,
             'reps': reps,

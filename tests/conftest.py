@@ -22,5 +22,10 @@ jax.config.update('jax_platforms', 'cpu')
 
 # Persistent compilation cache: FHE task graphs are deep elementwise
 # programs; caching compiles across test runs cuts suite time drastically.
-jax.config.update('jax_compilation_cache_dir', '/tmp/lattisense_jax_cache')
+# Repo-local (gitignored): /tmp is wiped between operator sessions and a
+# cold suite pays every deep-graph compile again.
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), '.cache', 'jax')
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', _CACHE)
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
