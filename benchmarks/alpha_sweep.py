@@ -49,7 +49,7 @@ def main():
     import lattisense_tpu  # noqa: F401  (x64 config)
     import jax
     jax.config.update('jax_platforms', args.platform)
-    jax.config.update('jax_compilation_cache_dir', '/tmp/lattisense_jax_cache')
+    jax.config.update('jax_compilation_cache_dir', '/root/repo/.cache/jax')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     from lattisense_tpu.params import BfvParams, _load_table
     from lattisense_tpu.runtime import BfvContext

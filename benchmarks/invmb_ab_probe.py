@@ -25,7 +25,7 @@ import numpy as np
 
 def main():
     import jax
-    jax.config.update('jax_compilation_cache_dir', '/tmp/lattisense_jax_cache')
+    jax.config.update('jax_compilation_cache_dir', '/root/repo/.cache/jax')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     import lattisense_tpu  # noqa: F401
     from lattisense_tpu.ops import ntt_pallas32 as k32

@@ -31,7 +31,7 @@ def _set_r4(on: bool):
 
 def main():
     import jax
-    jax.config.update('jax_compilation_cache_dir', '/tmp/lattisense_jax_cache')
+    jax.config.update('jax_compilation_cache_dir', '/root/repo/.cache/jax')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
     import lattisense_tpu  # noqa: F401
     from lattisense_tpu.params import BfvParams

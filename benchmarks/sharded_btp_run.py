@@ -37,7 +37,8 @@ import numpy as np
 import jax
 
 jax.config.update('jax_platforms', 'cpu')
-jax.config.update('jax_compilation_cache_dir', '/tmp/lattisense_jax_cache')
+os.makedirs('/root/repo/.cache', exist_ok=True)
+jax.config.update('jax_compilation_cache_dir', '/root/repo/.cache/jax')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
 
 import jax.numpy as jnp  # noqa: E402
@@ -76,7 +77,7 @@ def main():
     # ---- golden boundaries: the single-device host walk (cache shared
     # with bootstrap_chip.py) -------------------------------------------
     cache = os.environ.get('LATTISENSE_BTP_WALK_CACHE',
-                           f'/tmp/lattisense_btp_walk_{mode}_{p_.n}.npz')
+                           f'/root/repo/.cache/lattisense_btp_walk_{mode}_{p_.n}.npz')
     boundaries = None
     if os.path.exists(cache):
         z = np.load(cache, allow_pickle=False)
